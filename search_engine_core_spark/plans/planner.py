@@ -1,0 +1,174 @@
+"""AST -> DataFrame plan: candidate retrieval + BM25 scoring + top-k.
+
+Replaces the reference's FT.SEARCH dispatch (``src/search_api.cpp:284-305``)
+and the scorer's re-rank (``src/scoring/SearchScorer.cpp:603-622``) with one
+declarative plan Catalyst can optimize end to end:
+
+  candidates(AST) ⋈ triples[term ∈ Q] ⋈ broadcast(df-stats[term ∈ Q])
+    -> per-(doc,term) BM25 -> sum per doc -> orderBy(score desc, doc_id asc)
+    -> limit k   (TakeOrderedAndProject)
+
+Retrieval semantics (§2.9):
+  Term        — doc must contain ALL canonical tokens of the term value
+  Term(exact) — substring containment, case-insensitive (F4,
+                ``SearchScorer.cpp:116-125``); its tokens also score
+  Filter      — metadata equality (P2/P3); `site:`/`domain` maps to the
+                corpus `repo` column by default
+  And / Or    — intersection / union of child doc sets
+
+Scoring terms = canonical tokens of every Term node (the reference's
+extractQueryInfo re-tokenizes the raw query — ``SearchScorer.cpp:475-500`` —
+which also sweeps in filter field names; we deliberately score only real
+query terms and document the deviation here).
+
+Tiebreak contract: (score desc, doc_id asc). The reference's std::sort is
+unstable (``SearchScorer.cpp:611-617``) so tie order there is unspecified;
+we define it (SURVEY §7 risk 1) and the oracle does the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.scoring import bm25_term_score
+from search_engine_core_spark.functions.tokenizer import tokenize_py
+from search_engine_core_spark.operators.stats import CorpusStats
+from search_engine_core_spark.plans.query_parser import (
+    And,
+    Filter,
+    Node,
+    Or,
+    QueryParser,
+    Term,
+)
+
+# Query-field -> corpus-column mapping (the corpus has no `domain`; repo
+# plays that role for code).
+DEFAULT_FIELD_MAP = {"domain": "repo", "lang": "lang", "repo": "repo", "path": "path"}
+
+
+def scoring_terms(ast: Node) -> list[str]:
+    """Distinct canonical tokens of all Term nodes, in first-seen order."""
+    seen: dict[str, None] = {}
+
+    def walk(node: Node) -> None:
+        if isinstance(node, Term):
+            for t in tokenize_py(node.value):
+                seen.setdefault(t, None)
+        elif isinstance(node, (And, Or)):
+            for c in node.children:
+                walk(c)
+
+    walk(ast)
+    return list(seen)
+
+
+class Planner:
+    """Builds candidate + scored DataFrames from a parsed query."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        trip: DataFrame,
+        dfreq: DataFrame,
+        stats: CorpusStats,
+        field_map: dict[str, str] | None = None,
+    ):
+        self.docs = docs
+        self.trip = trip
+        self.dfreq = dfreq
+        self.stats = stats
+        self.field_map = field_map if field_map is not None else DEFAULT_FIELD_MAP
+        self.parser = QueryParser()
+
+    # -- candidate sets -------------------------------------------------
+    def _term_docs(self, term: Term) -> DataFrame:
+        if term.exact:
+            # F4: case-insensitive substring containment on raw content.
+            phrase = term.value.lower()
+            return self.docs.filter(
+                F.instr(F.lower(F.col("content")), F.lit(phrase)) > 0
+            ).select("doc_id")
+        toks = tokenize_py(term.value)
+        if not toks:
+            return self.docs.select("doc_id").limit(0)
+        return self._docs_with_all_terms(toks)
+
+    def _docs_with_all_terms(self, toks: list[str]) -> DataFrame:
+        # groupBy-having beats an n-way self-join: one shuffle, no skew
+        # amplification. isin() pushes into the triples scan.
+        matched = self.trip.filter(F.col("term").isin(toks))
+        if len(toks) == 1:
+            return matched.select("doc_id")
+        return (
+            matched.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(toks))
+            .select("doc_id")
+        )
+
+    def _filter_docs(self, flt: Filter) -> DataFrame:
+        col = self.field_map.get(flt.field, flt.field)
+        if col not in self.docs.columns:
+            return self.docs.select("doc_id").limit(0)
+        return self.docs.filter(F.col(col) == flt.value).select("doc_id")
+
+    def candidates(self, node: Node) -> DataFrame:
+        if isinstance(node, Term):
+            return self._term_docs(node)
+        if isinstance(node, Filter):
+            return self._filter_docs(node)
+        if isinstance(node, And):
+            # Flat all-plain-term AND collapses to one groupBy-having.
+            if all(isinstance(c, Term) and not c.exact for c in node.children):
+                toks = sorted({t for c in node.children for t in tokenize_py(c.value)})
+                if toks:
+                    return self._docs_with_all_terms(toks)
+            out = self.candidates(node.children[0])
+            for child in node.children[1:]:
+                out = out.join(self.candidates(child), "doc_id", "left_semi")
+            return out
+        if isinstance(node, Or):
+            out = self.candidates(node.children[0])
+            for child in node.children[1:]:
+                out = out.unionByName(self.candidates(child))
+            return out.distinct()
+        raise TypeError(f"unknown node {node!r}")
+
+    # -- scoring --------------------------------------------------------
+    def score(self, cand: DataFrame, terms: list[str]) -> DataFrame:
+        """BM25 sum over query terms for the candidate docs."""
+        if not terms:
+            return cand.withColumn("score", F.lit(0.0))
+        q_trip = self.trip.filter(F.col("term").isin(terms))
+        q_df = self.dfreq.filter(F.col("term").isin(terms))
+        per_term = q_trip.join(cand, "doc_id", "left_semi")
+        doclen = self.docs.select("doc_id", "doclen")
+        scored = (
+            per_term.join(F.broadcast(q_df), "term", "inner")
+            .join(doclen, "doc_id", "inner")
+            .withColumn(
+                "term_score",
+                bm25_term_score(
+                    F.col("tf").cast("double"),
+                    F.col("df").cast("double"),
+                    F.col("doclen"),
+                    self.stats.n_docs,
+                    self.stats.avgdl,
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        # Docs in the candidate set with no scoring-term hits (pure filter /
+        # phrase-only queries) keep score 0.
+        return cand.join(scored, "doc_id", "left").fillna({"score": 0.0})
+
+    def topk(self, query: str, k: int = 10) -> DataFrame:
+        """Parse + retrieve + score + deterministic top-k (O1-O3)."""
+        ast = self.parser.parse(query)
+        terms = scoring_terms(ast)
+        cand = self.candidates(ast)
+        scored = self.score(cand, terms)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

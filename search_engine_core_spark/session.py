@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would
+set per-executor; the only local-specific knobs are master and driver
+memory. AQE is on so skewed shuffle partitions get split at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for distribution to executors (the local-mode
+    equivalent of ``spark-submit --py-files``). Idempotent per process."""
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(f"/tmp/search_engine_core_spark-{os.getpid()}.zip")
+    if not out.exists():
+        with zipfile.ZipFile(out, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+    return str(out)
+
+
+def get_spark(
+    app_name: str = "search_engine_core_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partitions default to the core count: on a real cluster this would be
+    2-3x total executor cores; AQE coalesces the excess either way.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Ship the package to executor Python workers so closures that
+    # reference this module resolve regardless of the driver's cwd —
+    # same mechanism as spark-submit --py-files on a real cluster.
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
