@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from search_engine_core_spark.corpus import with_doc_columns
 from search_engine_core_spark.operators.stats import CorpusStats, corpus_stats, doc_frequency, triples
 from search_engine_core_spark.plans.planner import Planner
+from search_engine_core_spark.plans.query_parser import QueryParser
 
 
 class SearchEngine:
@@ -52,3 +53,62 @@ class SearchEngine:
     def unpersist(self) -> None:
         for df in (self.trip, self.dfreq, self.docs):
             df.unpersist()
+
+
+class IndexSearchEngine:
+    """Query engine over a materialized compressed index (sources/index_io).
+
+    ``search`` answers the full DSL by decoding only the query terms'
+    postings (partition-pruned scan -> Arrow decode -> same Planner as the
+    in-memory engine, so ranks are identical by construction).
+    ``search_wand`` is the block-max pruned path for plain term queries.
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        n_buckets: int = 16,
+        field_map: dict[str, str] | None = None,
+    ):
+        from search_engine_core_spark.operators.topk import WandTopK
+        from search_engine_core_spark.sources.index_io import IndexReader
+
+        self.spark = spark
+        self.reader = IndexReader(spark, index_dir, n_buckets)
+        self.stats = self.reader.stats
+        self.field_map = field_map
+        self.wand = WandTopK(self.reader, self.stats)
+
+    def _planner(self, terms: list[str]) -> Planner:
+        from search_engine_core_spark.operators.postings import decode_postings_df
+
+        if terms:
+            trip = decode_postings_df(self.reader.postings_for_terms(terms))
+        else:
+            trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
+        return Planner(self.reader.docs, trip, self.reader.dfreq, self.stats, self.field_map)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        from search_engine_core_spark.plans.planner import scoring_terms
+
+        ast = QueryParser().parse(query)
+        return self._planner(scoring_terms(ast)).topk_ast(ast, k)
+
+    def search_wand(self, query: str, k: int = 10) -> DataFrame:
+        """Block-max WAND path. OR semantics over the query's canonical
+        tokens (WAND is an OR-mode algorithm); explicit all-plain-term AND
+        queries short-circuit to the semi-join AND path."""
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import And, Term
+
+        ast = QueryParser().parse(query)
+        terms = scoring_terms(ast)
+        mode = (
+            "AND"
+            if isinstance(ast, And)
+            and all(isinstance(c, Term) and not c.exact for c in ast.children)
+            or (isinstance(ast, Term) and not ast.exact)
+            else "OR"
+        )
+        return self.wand.topk(terms, k, mode=mode)

@@ -1,0 +1,204 @@
+"""Query-time top-k over compressed postings: block-max WAND pruning.
+
+The reference scores every FT.SEARCH hit then sorts
+(``src/scoring/SearchScorer.cpp:603-622``); it never prunes. We add the
+standard block-max WAND idea (Broder et al. 2003; Ding & Suel SIGIR'11),
+adapted to a distributed two-pass shape that needs no coordinated cursor
+state across executors:
+
+  pass 1 (threshold seeding): fully decode the RAREST query term's
+    postings (smallest df — cheapest), score those docs exactly over all
+    query terms, and take the k-th best score as threshold θ.
+  pass 2 (pruned union, OR semantics): for every other term t, a doc NOT
+    containing the rarest term can score at most
+        bound(t-block) = Σ_{t'≠t} ub(t') + block_ub(t, block)
+    where ub(t') is the term's global upper bound (max_tf) and block_ub
+    uses the block's max_tf — so each executor can discard whole blocks
+    byte-unread (block offsets make the skip real, not just a filter).
+  Survivors are decoded, scored exactly, unioned with pass-1 docs, and the
+  final deterministic top-k (score desc, doc_id asc) is taken.
+
+The score upper bound for a term uses doclen -> 0:
+  ub = max(idf, 0) * tf*(k1+1)/(tf + k1*(1-b))     with tf = max_tf.
+Negative-IDF (hot) terms contribute ub = 0 — they can only lower a score,
+so they never rescue a pruned block; exact scoring still subtracts them.
+
+AND semantics short-circuits WAND: candidates = docs holding ALL terms,
+found by semi-joining decoded postings starting from the rarest term.
+
+Results are rank-identical to the naive DataFrame path (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.scoring import B, K1
+from search_engine_core_spark.operators.postings import decode_postings_row
+from search_engine_core_spark.operators.stats import CorpusStats
+
+
+def _idf(df: float, n: int) -> float:
+    return float(np.log((n - df + 0.5) / (df + 0.5)))
+
+
+def _tf_component_ub(tf: float) -> float:
+    # doclen -> 0 bound of the BM25 tf saturation
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
+
+
+def term_upper_bound(df: float, max_tf: float, n_docs: int) -> float:
+    return max(_idf(df, n_docs), 0.0) * _tf_component_ub(max_tf)
+
+
+def decode_pruned(
+    postings: DataFrame,
+    per_term_others_ub: dict[str, float],
+    per_term_idf: dict[str, float],
+    theta: float,
+) -> DataFrame:
+    """mapInPandas decode that skips blocks whose best possible total score
+    stays under θ. ``per_term_others_ub[t]`` = Σ ub of the other query
+    terms; block passes iff others_ub + idf⁺(t)·tf_ub(block_max_tf) ≥ θ."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids_all, tfs_all, terms_all = [], [], []
+            for row in pdf.to_dict("records"):
+                t = row["term"]
+                others = per_term_others_ub.get(t, 0.0)
+                idf_pos = max(per_term_idf.get(t, 0.0), 0.0)
+                bmax = np.asarray(row["block_max_tf"], dtype=np.float64)
+                bound = others + idf_pos * (bmax * (K1 + 1.0)) / (bmax + K1 * (1.0 - B))
+                mask = bound >= theta
+                if not mask.any():
+                    continue
+                ids, tfs = decode_postings_row(row, block_mask=mask)
+                ids_all.append(ids)
+                tfs_all.append(tfs.astype(np.int64))
+                terms_all.append(np.repeat(t, ids.size))
+            if ids_all:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_all),
+                        "term": np.concatenate(terms_all),
+                        "tf": np.concatenate(tfs_all),
+                    }
+                )
+
+    return postings.mapInPandas(gen, "doc_id long, term string, tf long")
+
+
+class WandTopK:
+    """Block-max two-pass top-k over an IndexReader."""
+
+    def __init__(self, reader, stats: CorpusStats):
+        self.reader = reader
+        self.stats = stats
+
+    def _score_exact(self, trip: DataFrame, term_stats: dict[str, tuple[int, int]]) -> DataFrame:
+        """(doc_id, term, tf) restricted to query terms -> (doc_id, score)."""
+        n, avgdl = self.stats.n_docs, self.stats.avgdl
+        df_map = F.create_map(
+            *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
+        )
+        doclen = self.reader.docs.select("doc_id", "doclen")
+        per = (
+            trip.join(doclen, "doc_id", "inner")
+            .withColumn("df", df_map[F.col("term")])
+            .withColumn(
+                "idf", F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+            .withColumn(
+                "ts",
+                F.col("idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("doclen").cast("double") / float(avgdl))
+                ),
+            )
+        )
+        return per.groupBy("doc_id").agg(F.sum("ts").alias("score"))
+
+    def topk(self, terms: list[str], k: int = 10, mode: str = "OR") -> DataFrame:
+        """terms must be canonical tokens. Returns (doc_id, score) top-k."""
+        spark = self.reader.spark
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        postings = self.reader.postings_for_terms(terms).cache()
+        # per-term aggregates (shards collapse: df sums, max_tf maxes)
+        stat_rows = (
+            postings.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+            .collect()
+        )
+        term_stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in stat_rows}
+        present = [t for t in terms if t in term_stats]
+        if not present:
+            postings.unpersist()
+            return empty
+        n = self.stats.n_docs
+
+        if mode == "AND" and len(present) < len(terms):
+            postings.unpersist()
+            return empty
+
+        rarest = min(present, key=lambda t: term_stats[t][0])
+        rare_post = postings.filter(F.col("term") == rarest)
+        # docs holding the rarest term
+        from search_engine_core_spark.operators.postings import decode_postings_df
+
+        rare_docs = decode_postings_df(rare_post).select("doc_id")
+
+        # pass 1: exact scores for rare-term docs over all query terms
+        all_trip = decode_postings_df(postings)
+        if mode == "AND":
+            cand = (
+                all_trip.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") == len(present))
+                .select("doc_id")
+            )
+            rows = (
+                self._score_exact(all_trip.join(cand, "doc_id", "left_semi"), term_stats)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            postings.unpersist()
+            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+
+        seed_trip = all_trip.join(rare_docs, "doc_id", "left_semi")
+        seed_scores = self._score_exact(seed_trip, term_stats)
+        seed_top = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        theta = seed_top[-1]["score"] if len(seed_top) >= k else float("-inf")
+
+        # pass 2: pruned decode of the other terms' postings
+        ubs = {t: term_upper_bound(d, m, n) for t, (d, m) in term_stats.items()}
+        idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
+        others_ub = {t: sum(u for t2, u in ubs.items() if t2 != t) for t in ubs}
+        rest_post = postings.filter(F.col("term") != rarest)
+        pruned_trip = decode_pruned(rest_post, others_ub, idfs, theta)
+        extra_docs = pruned_trip.select("doc_id").distinct().join(
+            rare_docs, "doc_id", "left_anti"
+        )
+        # exact scoring for survivors needs ALL their terms -> re-join the
+        # full decoded triples restricted to survivor docs
+        extra_trip = all_trip.join(extra_docs, "doc_id", "left_semi")
+        extra_scores = self._score_exact(extra_trip, term_stats)
+
+        # Eager finish: θ was already a driver-side decision, and k rows are
+        # tiny — collecting here lets us release the cached postings safely.
+        rows = (
+            seed_scores.unionByName(extra_scores)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        postings.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty

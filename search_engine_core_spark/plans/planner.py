@@ -167,7 +167,9 @@ class Planner:
 
     def topk(self, query: str, k: int = 10) -> DataFrame:
         """Parse + retrieve + score + deterministic top-k (O1-O3)."""
-        ast = self.parser.parse(query)
+        return self.topk_ast(self.parser.parse(query), k)
+
+    def topk_ast(self, ast: Node, k: int = 10) -> DataFrame:
         terms = scoring_terms(ast)
         cand = self.candidates(ast)
         scored = self.score(cand, terms)

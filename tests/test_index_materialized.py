@@ -1,0 +1,131 @@
+"""Materialized index: postings roundtrip, salted==unsalted, checkpoint
+resume (crash -> resume -> identical index), WAND == naive ranks."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.engine import IndexSearchEngine, SearchEngine
+from search_engine_core_spark.operators.postings import (
+    build_postings,
+    decode_postings_df,
+)
+from search_engine_core_spark.operators.stats import doc_frequency, triples
+from search_engine_core_spark.sources.index_io import BuildAborted, IndexBuilder
+
+QUERIES = [
+    "spark merge",
+    "spark OR merge OR token",
+    "return",
+    "config query parse",
+    "ident_1_1 OR spark",
+    "lang:python spark",
+    '"spark table"',
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, small_corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "index")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=50, n_shards=4).build(small_corpus)
+    return idx
+
+
+def _triple_set(df):
+    return {(r["doc_id"], r["term"], r["tf"]) for r in df.collect()}
+
+
+def test_postings_roundtrip(spark, small_corpus):
+    trip = triples(small_corpus)
+    dfreq = doc_frequency(trip)
+    postings = build_postings(trip, dfreq, hot_df_threshold=10**9, n_shards=1)
+    decoded = decode_postings_df(postings)
+    assert _triple_set(decoded) == _triple_set(trip)
+
+
+def test_salted_equals_unsalted(spark, small_corpus):
+    trip = triples(small_corpus).cache()
+    dfreq = doc_frequency(trip).cache()
+    plain = build_postings(trip, dfreq, hot_df_threshold=10**9, n_shards=1)
+    salted = build_postings(trip, dfreq, hot_df_threshold=30, n_shards=4)
+    assert _triple_set(decode_postings_df(plain)) == _triple_set(decode_postings_df(salted))
+    # hot terms really did get sharded
+    n_hot_rows = salted.filter(F.col("shard") > 0).count()
+    assert n_hot_rows > 0, "expected hot terms to produce shard>0 rows"
+    # cold-term rows byte-identical between the two builds
+    cold = dfreq.filter(F.col("df") <= 30).select("term")
+    p1 = {r["term"]: (r["doc_gaps"], r["tfs"]) for r in plain.join(cold, "term").collect()}
+    p2 = {r["term"]: (r["doc_gaps"], r["tfs"]) for r in salted.join(cold, "term").collect()}
+    assert p1 == p2
+    trip.unpersist()
+    dfreq.unpersist()
+
+
+def test_checkpoint_resume_identical(spark, small_corpus, tmp_path):
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+    IndexBuilder(spark, clean_dir, n_buckets=4, hot_df_threshold=50).build(small_corpus)
+    crash_builder = IndexBuilder(spark, crash_dir, n_buckets=4, hot_df_threshold=50)
+    with pytest.raises(BuildAborted):
+        crash_builder.build(small_corpus, fail_after_buckets=2)
+    ck = spark.read.parquet(f"{crash_dir}/_checkpoint")
+    done_before = ck.filter(
+        (F.col("stage") == "postings") & (F.col("status") == "completed")
+    ).count()
+    assert done_before == 2
+    # resume completes only the remaining buckets
+    crash_builder.build(small_corpus)
+    ck2 = spark.read.parquet(f"{crash_dir}/_checkpoint")
+    assert ck2.filter(
+        (F.col("stage") == "postings") & (F.col("status") == "completed")
+    ).count() == 4
+    # attempts recorded: resume rows carry a higher attempt
+    assert ck2.agg(F.max("attempt")).collect()[0][0] >= 2
+    # final postings semantically identical to the clean build
+    a = decode_postings_df(spark.read.parquet(f"{clean_dir}/postings"))
+    b = decode_postings_df(spark.read.parquet(f"{crash_dir}/postings"))
+    assert _triple_set(a) == _triple_set(b)
+    shutil.rmtree(crash_dir)
+
+
+def test_resume_is_noop_when_complete(spark, small_corpus, built_index):
+    ck_before = spark.read.parquet(f"{built_index}/_checkpoint").count()
+    IndexBuilder(spark, built_index, n_buckets=4, hot_df_threshold=50, n_shards=4).build(
+        small_corpus
+    )
+    ck_after = spark.read.parquet(f"{built_index}/_checkpoint").count()
+    assert ck_after == ck_before  # nothing re-ran, nothing re-logged
+
+
+@pytest.fixture(scope="module")
+def engines(spark, small_corpus, built_index):
+    mem = SearchEngine(small_corpus)
+    idx = IndexSearchEngine(spark, built_index, n_buckets=4)
+    yield mem, idx
+    mem.unpersist()
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_materialized_matches_inmemory(engines, query):
+    mem, idx = engines
+    a = [(r["doc_id"], r["score"]) for r in mem.search(query, 10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in idx.search(query, 10).collect()]
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert math.isclose(sa, sb, rel_tol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "query", ["spark merge", "spark OR merge OR token", "return", "spark AND merge", "ident_1_1 OR spark"]
+)
+def test_wand_matches_naive(engines, query):
+    mem, idx = engines
+    want = [(r["doc_id"], r["score"]) for r in mem.search(query, 10).collect()]
+    got = [(r["doc_id"], r["score"]) for r in idx.search_wand(query, 10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)
