@@ -1,0 +1,637 @@
+"""Driver-contract query registry: (name -> Spark callable, name -> oracle SQL).
+
+Each entry implements one operator family from SURVEY.md §2 over the
+driver's test tables (``documents``, ``embeddings``, TPC-H-ish tables) and
+pairs it with ANSI SQL DuckDB runs on the same parquet. Conventions that
+keep the two engines hash-identical:
+
+* every computed double is ``round(x, 4)`` on BOTH sides (ULP noise);
+* rankings order by the UNROUNDED score, ties broken by id;
+* Spark INT widths are cast to long where DuckDB returns BIGINT;
+* string hashing uses sha256 (identical hex on both engines); numeric
+  hashing uses the portable 60-bit sha256-prefix trick (dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.corpus import documents_as_corpus
+from search_engine_core_spark.engine import SearchEngine
+from search_engine_core_spark.functions import text_quality as tq
+from search_engine_core_spark.functions.tokenizer import tokenize_expr
+from search_engine_core_spark.operators import dedup, keywords, similarity
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+# DuckDB fragment: canonical tokenizer (matches tokenize_expr).
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) >= 2)"
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    if sf_dir not in _ENGINES:
+        _ENGINES[sf_dir] = SearchEngine(documents_as_corpus(spark, sf_dir))
+    return _ENGINES[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round_score(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------- BM25 SQL
+def _bm25_sql(terms: list[str], cand_sql: str, k: int | None = 10, min_score: float | None = None) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tail = ""
+    if min_score is not None:
+        tail += f" WHERE coalesce(sc.score, 0) >= {min_score}"
+    limit = f" LIMIT {k}" if k is not None else ""
+    return f"""
+WITH tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM tokarr),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        WHERE term IN ({tlist}) GROUP BY term),
+doclen AS (SELECT doc_id, len(toks)::DOUBLE AS doclen FROM tokarr),
+cand AS ({cand_sql}),
+scored AS (
+  SELECT f.doc_id,
+         sum( ln((s.n - d.df + 0.5) / (d.df + 0.5))
+              * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avgdl)) ) AS score
+  FROM tf f JOIN dft d USING (term) JOIN doclen l ON f.doc_id = l.doc_id
+  CROSS JOIN stats s
+  WHERE f.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY f.doc_id)
+SELECT c.doc_id, round(coalesce(sc.score, 0), 4) AS score
+FROM cand c LEFT JOIN scored sc ON c.doc_id = sc.doc_id{tail}
+ORDER BY coalesce(sc.score, 0) DESC, c.doc_id{limit}
+"""
+
+
+_CAND_ANY = "SELECT DISTINCT doc_id FROM tok WHERE term IN ({t})"
+_CAND_ALL = "SELECT doc_id FROM tok WHERE term IN ({t}) GROUP BY doc_id HAVING count(DISTINCT term) = {n}"
+
+
+def _q_bm25(query: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_score(_engine(spark, sf_dir).search(query, k))
+
+    return fn
+
+
+# ---------------------------------------------------------------- registry
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- retrieval + scoring (J1/J2, F5-F7, O1-O3, §2.9 DSL) ---
+    q["q01_bm25_or_topk"] = _q_bm25("spark OR merge OR join")
+    q["q02_bm25_and_topk"] = _q_bm25("spark AND merge AND join")
+    q["q03_bm25_implicit_and"] = _q_bm25("table scan")
+    q["q04_bm25_mixed_precedence"] = _q_bm25("spark AND merge OR window")
+    q["q05_bm25_phrase"] = _q_bm25('"table scan" merge')
+    q["q06_bm25_field_filter"] = _q_bm25("lang:es spark")
+
+    def q07(spark, sf_dir):  # P4 min-score over full OR result
+        eng = _engine(spark, sf_dir)
+        scored = eng.planner.score(
+            eng.planner.candidates(eng.planner.parser.parse("vector OR window")),
+            ["vector", "window"],
+        )
+        return (
+            scored.filter(F.col("score") >= -1.2)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    q["q07_minscore_filter"] = q07
+
+    def q08(spark, sf_dir):  # O2 pagination: page 2, limit 5
+        eng = _engine(spark, sf_dir)
+        return _round_score(eng.search("spark OR merge", 10)).offset(5)
+
+    q["q08_pagination"] = q08
+
+    def q09(spark, sf_dir):  # A10 min-max normalization over a result set
+        eng = _engine(spark, sf_dir)
+        scored = eng.planner.score(
+            eng.planner.candidates(eng.planner.parser.parse("batch OR stream")),
+            ["batch", "stream"],
+        )
+        w = Window.partitionBy()
+        mn, mx = F.min("score").over(w), F.max("score").over(w)
+        norm = F.when(mx - mn > 0, (F.col("score") - mn) / (mx - mn)).otherwise(F.col("score"))
+        return scored.select("doc_id", F.round(norm, 4).alias("norm_score"))
+
+    q["q09_minmax_normalize"] = q09
+
+    # --- index statistics (A1-A4) ---
+    def q10(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return (
+            eng.trip.filter(F.col("doc_id") < 5)
+            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+        )
+
+    q["q10_term_tf"] = q10
+
+    def q11(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return (
+            eng.dfreq.orderBy(F.desc("df"), F.asc("term"))
+            .limit(20)
+            .select("term", F.col("df").cast("long").alias("df"))
+        )
+
+    q["q11_term_df_top20"] = q11
+
+    def q12(spark, sf_dir):
+        eng = _engine(spark, sf_dir)
+        return eng.docs.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("doclen"), 4).alias("avgdl")
+        )
+
+    q["q12_corpus_stats"] = q12
+
+    def q13(spark, sf_dir):  # S14 suggest
+        eng = _engine(spark, sf_dir)
+        return keywords.suggest(eng.dfreq, "s", 10).select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+
+    q["q13_suggest_prefix"] = q13
+
+    # --- text analysis (A5/A6, F18, O6, lang-id, fingerprint) ---
+    def q14(spark, sf_dir):
+        return keywords.top_keywords(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 10), k=3
+        ).select("doc_id", "word", F.col("cnt").cast("long").alias("cnt"), F.col("rank").cast("long").alias("rank"))
+
+    q["q14_keywords_top3"] = q14
+
+    def q15(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+        return d.select("doc_id", tq.word_count(F.col("text")).cast("long").alias("word_cnt"))
+
+    q["q15_word_count"] = q15
+
+    def q16(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+        return d.select("doc_id", tq.token_count(F.col("text")).cast("long").alias("token_cnt"))
+
+    q["q16_token_count"] = q16
+
+    def q17(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 10)
+        snippet = F.when(
+            F.length("text") > 200, F.concat(F.substring("text", 1, 200), F.lit("..."))
+        ).otherwise(F.col("text"))
+        return d.select("doc_id", snippet.alias("snippet"))
+
+    q["q17_snippet"] = q17
+
+    def q18(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            tq.quality_score(F.col("text")).alias("quality"),
+            F.round(tq.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        )
+
+    q["q18_quality_score"] = q18
+
+    def q19(spark, sf_dir):
+        return _docs(spark, sf_dir).select("doc_id", tq.lang_id(F.col("text")).alias("lang_pred"))
+
+    q["q19_lang_id"] = q19
+
+    def q20(spark, sf_dir):
+        return _docs(spark, sf_dir).select("doc_id", tq.fingerprint(F.col("text")).alias("fp"))
+
+    q["q20_fingerprint"] = q20
+
+    # --- deduplication ---
+    def q21(spark, sf_dir):  # exact-dup groups on 5-token prefix
+        d = _docs(spark, sf_dir)
+        fp = F.sha2(F.array_join(F.slice(tokenize_expr(F.col("text")), 1, 5), " "), 256)
+        return (
+            d.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_dups") > 1)
+        )
+
+    q["q21_dedup_prefix_groups"] = q21
+
+    def q22(spark, sf_dir):
+        return dedup.minhash_signature(_docs(spark, sf_dir).filter(F.col("doc_id") < 20))
+
+    q["q22_minhash_signature"] = q22
+
+    def q23(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+    q["q23_minhash_lsh_pairs"] = q23
+
+    def q24(spark, sf_dir):
+        return dedup.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
+
+    q["q24_simhash"] = q24
+
+    def q25(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 40), threshold=0.0
+        )
+
+    q["q25_ngram_jaccard"] = q25
+
+    # --- similarity search (embeddings) ---
+    def _qvec(spark, sf_dir):
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .collect()[0]
+        )
+        return [float(x) for x in row["embedding"]]
+
+    def q26(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.brute_force_topk(emb, _qvec(spark, sf_dir), 10, exclude_id=0)
+
+    q["q26_cosine_bruteforce_topk"] = q26
+
+    def q27(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return (
+            emb.select(similarity.signbit_bucket(F.col("embedding"), 8).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q27_lsh_bucket_histogram"] = q27
+
+    def q28(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.lsh_topk(
+            emb.filter(F.col("vec_id") != 0), _qvec(spark, sf_dir), 10, n_bits=8
+        )
+
+    q["q28_ann_lsh_topk"] = q28
+
+    # --- relational surface over the TPC-H-ish tables (J4, W3, A9-A12) ---
+    def q29(spark, sf_dir):  # J4/J5 anti-join (visited-set semantics)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        big = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select("c_custkey")
+
+    q["q29_antijoin_no_orders"] = q29
+
+    def q30(spark, sf_dir):  # W3 latest-event-per-key
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+    q["q30_latest_event_per_user"] = q30
+
+    def q31(spark, sf_dir):  # A12 metrics histogram
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+        )
+
+    q["q31_event_type_histogram"] = q31
+
+    def q32(spark, sf_dir):  # J3 merge/upsert semantics (re-crawl merge)
+        d = _docs(spark, sf_dir).select("doc_id")
+        existing = d.filter(F.col("doc_id") % 3 == 0).withColumn("crawl_count", F.lit(1))
+        incoming = d.filter(F.col("doc_id") % 2 == 0)
+        joined = existing.alias("e").join(incoming.alias("i"), "doc_id", "full_outer")
+        return joined.select(
+            "doc_id",
+            F.when(F.col("e.crawl_count").isNotNull() & F.col("i.doc_id").isNotNull(), F.lit(2))
+            .when(F.col("e.crawl_count").isNotNull(), F.lit(1))
+            .otherwise(F.lit(1))
+            .alias("crawl_count"),
+            F.when(F.col("e.crawl_count").isNotNull() & F.col("i.doc_id").isNotNull(), F.lit("updated"))
+            .when(F.col("e.crawl_count").isNotNull(), F.lit("kept"))
+            .otherwise(F.lit("new"))
+            .alias("merge_status"),
+        )
+
+    q["q32_upsert_merge"] = q32
+
+    def q33(spark, sf_dir):  # classic partial-agg rollup (A-ops at scale)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    q["q33_lineitem_rollup"] = q33
+
+    return q
+
+
+def build_oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    t3 = "'spark', 'merge', 'join'"
+    o["q01_bm25_or_topk"] = _bm25_sql(
+        ["spark", "merge", "join"], _CAND_ANY.format(t=t3)
+    )
+    o["q02_bm25_and_topk"] = _bm25_sql(
+        ["spark", "merge", "join"], _CAND_ALL.format(t=t3, n=3)
+    )
+    o["q03_bm25_implicit_and"] = _bm25_sql(
+        ["table", "scan"], _CAND_ALL.format(t="'table','scan'", n=2)
+    )
+    o["q04_bm25_mixed_precedence"] = _bm25_sql(
+        ["spark", "merge", "window"],
+        "SELECT doc_id FROM tok WHERE term IN ('spark','merge') GROUP BY doc_id "
+        "HAVING count(DISTINCT term) = 2 "
+        "UNION SELECT DISTINCT doc_id FROM tok WHERE term = 'window'",
+    )
+    o["q05_bm25_phrase"] = _bm25_sql(
+        ["table", "scan", "merge"],
+        "SELECT doc_id FROM documents WHERE instr(lower(text), 'table scan') > 0 "
+        "INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'",
+    )
+    o["q06_bm25_field_filter"] = _bm25_sql(
+        ["spark"],
+        "SELECT doc_id FROM documents WHERE lang = 'es' "
+        "INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'",
+    )
+    o["q07_minscore_filter"] = _bm25_sql(
+        ["vector", "window"],
+        _CAND_ANY.format(t="'vector','window'"),
+        k=None,
+        min_score=-1.2,
+    )
+    o["q08_pagination"] = (
+        _bm25_sql(["spark", "merge"], _CAND_ANY.format(t="'spark','merge'"), k=None).rstrip()
+        + " LIMIT 5 OFFSET 5\n"
+    )
+    o["q09_minmax_normalize"] = f"""
+WITH tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM tokarr),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('batch','stream') GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        WHERE term IN ('batch','stream') GROUP BY term),
+doclen AS (SELECT doc_id, len(toks)::DOUBLE AS doclen FROM tokarr),
+scored AS (
+  SELECT f.doc_id,
+         sum( ln((s.n - d.df + 0.5) / (d.df + 0.5))
+              * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avgdl)) ) AS score
+  FROM tf f JOIN dft d USING (term) JOIN doclen l ON f.doc_id = l.doc_id
+  CROSS JOIN stats s GROUP BY f.doc_id)
+SELECT doc_id,
+       round(CASE WHEN max(score) OVER () - min(score) OVER () > 0
+             THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+             ELSE score END, 4) AS norm_score
+FROM scored
+"""
+    o["q10_term_tf"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents WHERE doc_id < 5)
+SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+"""
+    o["q11_term_df_top20"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+"""
+    o["q12_corpus_stats"] = f"""
+SELECT count(*) AS n_docs, round(avg(len({TOKS})), 4) AS avgdl FROM documents
+"""
+    o["q13_suggest_prefix"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM dft WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 10
+"""
+    o["q14_keywords_top3"] = r"""
+WITH words AS (
+  SELECT doc_id, lower(regexp_replace(w, '[!-/:-@\[-`{-~]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE doc_id < 10)),
+counted AS (
+  SELECT doc_id, word, count(*) AS cnt FROM words
+  WHERE length(word) > 3 AND word NOT IN (
+    'the','and','for','are','but','not','you','all','can','had','her','was',
+    'one','our','out','day','get','has','him','his','how','its','may','new',
+    'now','old','see','two','who','boy','did','she','use','man','way')
+  GROUP BY doc_id, word),
+ranked AS (
+  SELECT doc_id, word, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS rank
+  FROM counted)
+SELECT doc_id, word, cnt, rank FROM ranked WHERE rank <= 3
+"""
+    o["q15_word_count"] = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_cnt
+FROM documents WHERE doc_id < 20
+"""
+    o["q16_token_count"] = f"""
+SELECT doc_id, len({TOKS}) AS token_cnt FROM documents WHERE doc_id < 20
+"""
+    o["q17_snippet"] = """
+SELECT doc_id,
+       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS snippet
+FROM documents WHERE doc_id < 10
+"""
+    o["q18_quality_score"] = rf"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS} AS toks,
+         least(1.0, length(text)::DOUBLE / 10000.0) AS cq,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)
+              ELSE 0.0 END AS pr
+  FROM documents)
+SELECT doc_id, round(cq * (1.0 - pr), 4) AS quality,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> t IN (
+               'the','and','for','are','but','not','you','all','can','had','her','was',
+               'one','our','out','day','get','has','him','his','how','its','may','new',
+               'now','old','see','two','who','boy','did','she','use','man','way')))::DOUBLE
+                  / len(toks)
+             ELSE 0.0 END, 4) AS stopword_ratio
+FROM base
+"""
+    o["q19_lang_id"] = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ('the','and','is','of','to','in'))) AS h_en,
+    len(list_filter(toks, t -> t IN ('el','la','de','que','los','una'))) AS h_es,
+    len(list_filter(toks, t -> t IN ('le','la','les','des','est','une'))) AS h_fr,
+    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS h_de
+  FROM base)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+       WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+       WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM hits
+"""
+    o["q20_fingerprint"] = f"""
+SELECT doc_id, sha256(array_to_string({TOKS}, ' ')) AS fp FROM documents
+"""
+    o["q21_dedup_prefix_groups"] = f"""
+WITH fps AS (
+  SELECT doc_id, sha256(array_to_string(({TOKS})[1:5], ' ')) AS fp FROM documents)
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM fps GROUP BY fp HAVING count(*) > 1
+"""
+    # MinHash: portable 60-bit hash -> mod p -> 8 affine permutations.
+    _perm = [
+        (1103515245, 12345), (134775813, 1), (214013, 2531011), (69069, 362437),
+        (1664525, 1013904223), (22695477, 1), (48271, 399268537), (65539, 904279),
+    ]
+    mh_aggs = ",\n    ".join(
+        f"min((hmod * {a} + {b}) % 2147483647) AS mh{i}" for i, (a, b) in enumerate(_perm)
+    )
+    _shingle_cte = f"""
+tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < {{lim}}),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tokarr),
+hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(sha256(shingle), 1, 15))::BIGINT) % 2147483647 AS hmod
+  FROM shing)"""
+    o["q22_minhash_signature"] = f"""
+WITH {_shingle_cte.format(lim=20)}
+SELECT doc_id,
+    {mh_aggs}
+FROM hashed GROUP BY doc_id
+"""
+    band_cols = ["mh0 || '_' || mh1", "mh2 || '_' || mh3", "mh4 || '_' || mh5", "mh6 || '_' || mh7"]
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, {expr} AS key FROM sig" for bi, expr in enumerate(band_cols)
+    )
+    o["q23_minhash_lsh_pairs"] = f"""
+WITH {_shingle_cte.format(lim=200)},
+sig AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+    bit_sums = ",\n    ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(16)
+    )
+    sim_expr = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    o["q24_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents WHERE doc_id < 50),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(sha256(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM bits
+"""
+    o["q25_ngram_jaccard"] = f"""
+WITH tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 40),
+base AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END) AS sh,
+         (len(toks) // 20)::BIGINT AS blk
+  FROM tokarr)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.0
+"""
+    _cos = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
+q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.ev, q.qv)
+         / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+    o["q26_cosine_bruteforce_topk"] = _cos
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{j+1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+    o["q27_lsh_bucket_histogram"] = f"""
+SELECT ({bucket_expr})::INTEGER AS bucket, count(*) AS n FROM embeddings GROUP BY 1
+"""
+    o["q28_ann_lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev,
+         ({bucket_expr})::INTEGER AS bucket
+  FROM embeddings),
+q AS (SELECT ev AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.ev, q.qv)
+         / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0 AND e.bucket = q.qb)
+ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+    o["q29_antijoin_no_orders"] = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+    o["q30_latest_event_per_user"] = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+    o["q31_event_type_histogram"] = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+    o["q32_upsert_merge"] = """
+WITH existing AS (SELECT doc_id, 1 AS crawl_count FROM documents WHERE doc_id % 3 = 0),
+incoming AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT coalesce(e.doc_id, i.doc_id) AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL AND i.doc_id IS NOT NULL THEN 2
+            ELSE 1 END AS crawl_count,
+       CASE WHEN e.doc_id IS NOT NULL AND i.doc_id IS NOT NULL THEN 'updated'
+            WHEN e.doc_id IS NOT NULL THEN 'kept'
+            ELSE 'new' END AS merge_status
+FROM existing e FULL OUTER JOIN incoming i ON e.doc_id = i.doc_id
+"""
+    o["q33_lineitem_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    return o

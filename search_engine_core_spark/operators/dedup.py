@@ -1,0 +1,170 @@
+"""Deduplication operators for large-corpus training-data pipelines.
+
+Exact dedup generalizes the reference's visited-URL set (U1,
+``src/crawler/URLFrontier.cpp:289-309``); near-dup (MinHash-LSH / SimHash /
+n-gram Jaccard) is new surface a 100 TB pipeline needs. Everything is
+expressed in Catalyst column algebra so the DuckDB oracle can mirror it
+exactly:
+
+* portable 60-bit string hash: first 15 hex chars of sha256, read base-16
+  (identical in Spark `conv(substr(sha2(s,256),1,15),16,10)` and DuckDB
+  `('0x' || substr(sha256(s),1,15))::bigint`);
+* MinHash permutations (a*h' + b) mod p with h' = h mod p, p = 2^31-1 —
+  h' < 2^31 and a < 2^31 keep a*h' < 2^62: no bigint overflow on either
+  engine;
+* LSH: split the signature into bands; docs sharing any band bucket are
+  candidate pairs (self-join on band value — at scale the join key is
+  (band_idx, band_hash), a uniform shuffle).
+
+Scale notes: exact dedup is one hash-groupBy (map-side combinable);
+MinHash is explode -> groupBy(doc) with tiny per-group state; the LSH
+self-join shuffles only (doc, band) pairs, never content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.text_quality import fingerprint
+from search_engine_core_spark.functions.tokenizer import tokenize_expr
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+# Fixed permutation coefficients (deterministic; coprime-ish odd a's).
+MINHASH_AB = [
+    (1103515245, 12345),
+    (134775813, 1),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (48271, 399268537),
+    (65539, 904279),
+]
+N_BANDS = 4  # 8 hashes -> 4 bands of 2
+
+
+def portable_hash60(col):
+    """60-bit deterministic string hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of docs with identical canonical token streams:
+    (fp, n_dups, min_doc_id) for groups with >1 member."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles over canonical tokens (array<string>)."""
+    toks = tokenize_expr(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, mh0..mh7) MinHash signature over 3-gram shingles."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_expr(F.col(text_col))).alias("shingle")
+    )
+    h = F.pmod(portable_hash60(F.col("shingle")), F.lit(MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band."""
+    sig = minhash_signature(docs, text_col, id_col)
+    rows_per_band = len(MINHASH_AB) // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted sign sums of token-hash bits.
+    16 bits keeps the per-bit expression fan-out portable to plain SQL."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(F.col(text_col))).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = portable_hash60(F.col("term"))
+    bit_sums = [
+        F.sum(
+            F.col("tf") * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    block_col=None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (U3 math,
+    ``SearchScorer.cpp:649-666``). A blocking key bounds the self-join —
+    default: token-count bucket (near-dups have near-equal lengths); at
+    scale, feed LSH candidates instead of blocking."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_expr(F.col(text_col))).alias("sh"),
+        (
+            block_col
+            if block_col is not None
+            else F.floor(F.size(tokenize_expr(F.col(text_col))) / 20)
+        ).alias("blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

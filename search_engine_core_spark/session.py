@@ -60,9 +60,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     # Ship the package to executor Python workers so closures that
     # reference this module resolve regardless of the driver's cwd —
     # same mechanism as spark-submit --py-files on a real cluster.
-    spark.sparkContext.addPyFile(_package_zip())
+    sc = spark.sparkContext
+    if not getattr(sc, "_secs_pkg_shipped", False):
+        sc.addPyFile(_package_zip())
+        sc._secs_pkg_shipped = True
     return spark
