@@ -41,36 +41,44 @@ _MED = [
 _LANGS = ["python", "cpp", "js", "go", "rust", "java"]
 
 
+_HOT_ARR = np.array(_HOT)
+_MED_ARR = np.array(_MED)
+
+
 def _gen_rows(ids: np.ndarray, tokens_per_doc: int) -> pd.DataFrame:
     """Generate corpus rows for the given global row ids (deterministic per
     id — independent of partitioning, so any parallelism level yields the
-    same table)."""
+    same table). Numpy-vectorized within each doc."""
     out = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
     for i in ids:
-        rng = np.random.default_rng(42 + int(i))
+        i = int(i)
+        rng = np.random.default_rng(42 + i)
         n_tok = int(rng.integers(tokens_per_doc // 2, tokens_per_doc * 2))
         # Zipf-ish mixture: 30% hot (df≈N — exercises negative IDF and skew
         # salting), 50% from a per-doc topic subset of the medium vocab
         # (df≈N/4 — selective, positive IDF), 20% rare long-tail idents.
-        topic = rng.choice(len(_MED), size=8, replace=False)
+        topic = _MED_ARR[rng.choice(len(_MED_ARR), size=8, replace=False)]
         kinds = rng.choice(3, size=n_tok, p=[0.30, 0.50, 0.20])
-        words = []
-        for k in kinds:
-            if k == 0:
-                words.append(_HOT[int(rng.integers(len(_HOT)))])
-            elif k == 1:
-                words.append(_MED[int(topic[int(rng.integers(len(topic)))])])
-            else:
-                words.append(f"ident_{int(rng.integers(5000))}_{int(rng.integers(100))}")
+        hot = _HOT_ARR[rng.integers(0, len(_HOT_ARR), size=n_tok)]
+        med = topic[rng.integers(0, len(topic), size=n_tok)]
+        ra = rng.integers(0, 5000, size=n_tok)
+        rb = rng.integers(0, 100, size=n_tok)
+        rare = np.char.add(
+            np.char.add(
+                np.char.add("ident_", ra.astype("U8")), np.repeat("_", n_tok)
+            ),
+            rb.astype("U4"),
+        )
+        words = np.select([kinds == 0, kinds == 1], [hot, med], default=rare)
         # Light code-ish punctuation so the tokenizer has separators to chew.
-        text_parts = []
-        for j in range(0, len(words), 8):
-            text_parts.append(" ".join(words[j : j + 8]) + ("():\n" if j % 16 == 0 else ";\n"))
-        out["repo"].append(f"org{int(i) % 97}/project-{int(i) % 13}")
-        out["path"].append(f"src/m{int(i) % 7}/file_{int(i)}.py")
-        out["commit"].append(f"{int(i) % (1 << 32):040x}")
-        out["lang"].append(_LANGS[int(i) % len(_LANGS)])
-        out["content"].append("".join(text_parts))
+        parts = []
+        for j in range(0, n_tok, 8):
+            parts.append(" ".join(words[j : j + 8]) + ("():\n" if j % 16 == 0 else ";\n"))
+        out["repo"].append(f"org{i % 97}/project-{i % 13}")
+        out["path"].append(f"src/m{i % 7}/file_{i}.py")
+        out["commit"].append(f"{i % (1 << 32):040x}")
+        out["lang"].append(_LANGS[i % len(_LANGS)])
+        out["content"].append("".join(parts))
     return pd.DataFrame(out)
 
 

@@ -84,7 +84,14 @@ class IndexSearchEngine:
         from search_engine_core_spark.operators.postings import decode_postings_df
 
         if terms:
+            # decode ONCE per query: the Planner references triples several
+            # times (one candidate probe per AST child + the scoring join);
+            # an eager localCheckpoint materializes the tiny decoded set and
+            # truncates lineage so each reuse is a read, not a re-decode.
+            # Single-term queries touch triples once — skip the overhead.
             trip = decode_postings_df(self.reader.postings_for_terms(terms))
+            if len(terms) > 1:
+                trip = trip.localCheckpoint(eager=True)
         else:
             trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
         return Planner(self.reader.docs, trip, self.reader.dfreq, self.stats, self.field_map)

@@ -45,21 +45,12 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, shard) group -> one postings row. All numpy, no per-row
-    Python; runs as an Arrow grouped-map task."""
-    term = pdf["term"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+def _encode_one(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:
+    """Encode ONE already-sorted (term, shard) posting list. Pure numpy."""
     n = doc_ids.size
-
     starts = np.arange(0, n, BLOCK)
     ends = np.minimum(starts + BLOCK, n)
-    block_first, block_last, block_n = doc_ids[starts], doc_ids[ends - 1], (ends - starts)
-
-    u, gaps = encode_doc_gaps(doc_ids)
+    _, gaps = encode_doc_gaps(doc_ids)
     gap_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     gap_offs = np.zeros(starts.size, dtype=np.int64)
@@ -76,23 +67,72 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         gpos += len(gb)
         tpos += len(tb)
         block_max_tf[bi] = int(tfs[s:e].max())
+    return {
+        "df": n,
+        "max_tf": int(tfs.max()),
+        "block_first": doc_ids[starts].tolist(),
+        "block_last": doc_ids[ends - 1].tolist(),
+        "block_n": (ends - starts).tolist(),
+        "block_gap_off": gap_offs.tolist(),
+        "block_tf_off": tf_offs.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "doc_gaps": b"".join(gap_chunks),
+        "tfs": b"".join(tf_chunks),
+    }
 
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "shard": [shard],
-            "df": [n],
-            "max_tf": [int(tfs.max())],
-            "block_first": [block_first.tolist()],
-            "block_last": [block_last.tolist()],
-            "block_n": [block_n.tolist()],
-            "block_gap_off": [gap_offs.tolist()],
-            "block_tf_off": [tf_offs.tolist()],
-            "block_max_tf": [block_max_tf.tolist()],
-            "doc_gaps": [b"".join(gap_chunks)],
-            "tfs": [b"".join(tf_chunks)],
-        }
-    )
+
+def _encode_chunk(pdf: pd.DataFrame, with_bucket: bool) -> pd.DataFrame:
+    """Encode a sorted (term, shard, doc_id) chunk holding >=1 complete
+    groups. Group boundaries found vectorized; per-group work is numpy
+    slicing — no pandas dispatch per group (that costs ~100µs x millions
+    of distinct terms at scale)."""
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+    tfs = pdf["tf"].to_numpy().astype(np.uint64)
+    new_group = np.empty(len(pdf), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    starts = np.flatnonzero(new_group)
+    ends = np.append(starts[1:], len(pdf))
+    rows = []
+    buckets = pdf["bucket"].to_numpy() if with_bucket else None
+    for s, e in zip(starts, ends):
+        enc = _encode_one(doc_ids[s:e], tfs[s:e])
+        enc["term"] = terms[s]
+        enc["shard"] = int(shards[s])
+        if with_bucket:
+            enc["bucket"] = int(buckets[s])
+        rows.append(enc)
+    cols = (["bucket"] if with_bucket else []) + [
+        "term", "shard", "df", "max_tf", "block_first", "block_last", "block_n",
+        "block_gap_off", "block_tf_off", "block_max_tf", "doc_gaps", "tfs",
+    ]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _encode_partition(batches, with_bucket: bool):
+    """mapInPandas over a partition sorted by (term, shard, doc_id): emit
+    one row per complete group, carrying the trailing incomplete group
+    into the next Arrow batch (groups may span batch boundaries)."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        last_term = pdf["term"].iloc[-1]
+        last_shard = pdf["shard"].iloc[-1]
+        tail_mask = (pdf["term"] == last_term) & (pdf["shard"] == last_shard)
+        # sorted input => the last group is a contiguous suffix
+        tail_start = len(pdf) - int(tail_mask.sum())
+        head = pdf.iloc[:tail_start]
+        carry = pdf.iloc[tail_start:]
+        if len(head):
+            yield _encode_chunk(head, with_bucket)
+    if carry is not None and len(carry):
+        yield _encode_chunk(carry, with_bucket)
 
 
 def decode_postings_row(
@@ -129,6 +169,8 @@ def build_postings(
     dfreq: DataFrame,
     hot_df_threshold: int = 100_000,
     n_shards: int = 8,
+    bucket_col: bool = False,
+    hot_is_term_set: bool = False,
 ) -> DataFrame:
     """triples + df-stats -> compressed postings rows.
 
@@ -137,9 +179,13 @@ def build_postings(
     is THE big shuffle of the build; salting bounds every task at
     ~df/n_shards entries for hot terms.
     """
-    hot = dfreq.filter(F.col("df") > hot_df_threshold).select("term").withColumn(
-        "_hot", F.lit(True)
-    )
+    if hot_is_term_set:
+        # caller supplies the hot-term set directly (e.g. sample-estimated)
+        hot = dfreq.select("term").withColumn("_hot", F.lit(True))
+    else:
+        hot = dfreq.filter(F.col("df") > hot_df_threshold).select("term").withColumn(
+            "_hot", F.lit(True)
+        )
     salted = (
         trip.join(F.broadcast(hot), "term", "left")
         .withColumn(
@@ -151,7 +197,28 @@ def build_postings(
         )
         .drop("_hot")
     )
-    return salted.groupBy("term", "shard").applyInPandas(_encode_group, POSTINGS_SCHEMA)
+    schema = ("bucket int, " + POSTINGS_SCHEMA) if bucket_col else POSTINGS_SCHEMA
+    cols = ["term", "shard", "doc_id", "tf"] + (["bucket"] if bucket_col else [])
+    # JVM-side shuffle + Tungsten sort groups each (term, shard) run
+    # contiguously; the Arrow mapInPandas then encodes whole batches with
+    # numpy group-splitting — no per-group pandas dispatch (the naive
+    # groupBy().applyInPandas() pays ~100µs per distinct term, which at
+    # millions of code-identifier terms dominates the build).
+    # EXPLICIT partition count: without it AQE coalesces this exchange to
+    # ~64MB partitions — but the downstream stage is CPU-bound Python
+    # encode, not IO-bound, so coalescing starves the executor cores
+    # (observed: bimodal 2-3x slowdowns when AQE picked 4 of 16 slots).
+    sess = trip.sparkSession
+    n_part = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    arranged = (
+        salted.select(*cols)
+        .repartition(n_part, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+    )
+    return arranged.mapInPandas(lambda it: _encode_partition(it, bucket_col), schema)
 
 
 def decode_postings_df(postings: DataFrame) -> DataFrame:

@@ -156,7 +156,8 @@ class WandTopK:
         rare_docs = decode_postings_df(rare_post).select("doc_id")
 
         # pass 1: exact scores for rare-term docs over all query terms
-        all_trip = decode_postings_df(postings)
+        # (decoded once, materialized — reused by AND, seed and survivor paths)
+        all_trip = decode_postings_df(postings).localCheckpoint(eager=True)
         if mode == "AND":
             cand = (
                 all_trip.groupBy("doc_id")

@@ -26,6 +26,16 @@ def _package_zip() -> str:
     return str(out)
 
 
+def _local_dir() -> str:
+    base = os.environ.get("SPARK_LOCAL_DIRS")
+    if base:
+        return base
+    shm = pathlib.Path("/dev/shm")
+    root = (shm if shm.is_dir() else pathlib.Path("/tmp")) / "spark_local"
+    root.mkdir(exist_ok=True)
+    return str(root)
+
+
 def get_spark(
     app_name: str = "search_engine_core_spark",
     cores: int | None = None,
@@ -52,10 +62,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Shuffle/spill to tmpfs: the sandbox has ONE shared spinning-ish
+        # disk, so concurrent shuffle writers serialize on iowait there; a
+        # real cluster gives each executor local NVMe. tmpfs is the honest
+        # local proxy (and RAM is plentiful: 128 GiB).
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

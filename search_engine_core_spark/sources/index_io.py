@@ -35,8 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_core_spark.corpus import with_doc_columns
+from search_engine_core_spark.functions.tokenizer import tokenize_expr
 from search_engine_core_spark.operators.postings import build_postings
-from search_engine_core_spark.operators.stats import CorpusStats, doc_frequency, triples
+from search_engine_core_spark.operators.stats import CorpusStats, triples
 
 CHECKPOINT_SCHEMA = (
     "stage string, partition_id int, status string, n_docs long, "
@@ -59,6 +60,7 @@ class IndexBuilder:
     n_buckets: int = 16
     hot_df_threshold: int = 100_000
     n_shards: int = 8
+    commit_group: int | None = None  # buckets per write job (None = all)
 
     # -- checkpoint ------------------------------------------------------
     def _ckpt_path(self) -> str:
@@ -110,16 +112,28 @@ class IndexBuilder:
     # -- build -----------------------------------------------------------
     def build(self, corpus: DataFrame, fail_after_buckets: int | None = None) -> None:
         """Full build with resume. ``fail_after_buckets`` aborts after N
-        postings buckets (fault injection for the resume test)."""
+        postings buckets (fault injection for the resume test).
+
+        Two execution shapes, same output:
+        * ``commit_group`` unset -> FAST path: no triples intermediate —
+          hot terms detected from a seeded sample, postings built in ONE
+          pipelined job (tokenize -> tf agg -> shuffle(term,shard) ->
+          sort -> Arrow encode -> partitioned write), exact df derived
+          afterwards from postings metadata (sum of shard df — a
+          column-stats scan, no re-tokenize).
+        * ``commit_group`` set -> RESUMABLE path: triples materialized
+          partitioned by bucket so crashed builds re-run only pending
+          buckets (T6 semantics).
+        """
         done = self._completed()
         attempt = self._next_attempt()
 
         if ("docs", 0) not in done:
-            t0 = time.monotonic()
+            t0_docs = time.monotonic()
             docs = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
             docs.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
-            n = self.spark.read.parquet(f"{self.index_dir}/docs").count()
-            self._log("docs", 0, "completed", n, 0, attempt, t0)
+        else:
+            t0_docs = None
 
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
 
@@ -129,49 +143,171 @@ class IndexBuilder:
                 F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
             ).write.mode("overwrite").parquet(f"{self.index_dir}/stats")
             self._log("stats", 0, "completed", 0, 0, attempt, t0)
+        self._n_docs = int(
+            self.spark.read.parquet(f"{self.index_dir}/stats").collect()[0]["n_docs"]
+        )
+        if t0_docs is not None:
+            # doc count comes from the stats job — no separate count scan
+            self._log("docs", 0, "completed", self._n_docs, 0, attempt, t0_docs)
 
+        if self.commit_group is None:
+            self._build_fast(docs, done, attempt, fail_after_buckets)
+        else:
+            self._build_resumable(docs, done, attempt, fail_after_buckets)
+
+        if ("dfreq", 0) not in self._completed():
+            t0 = time.monotonic()
+            # exact df from postings metadata: shard dfs sum per term.
+            # Reads only (bucket, term, df) columns — parquet prunes the
+            # heavy binary columns away.
+            post = self.spark.read.option(
+                "basePath", f"{self.index_dir}/postings"
+            ).parquet(f"{self.index_dir}/postings")
+            dfreq = post.groupBy("term", "bucket").agg(F.sum("df").alias("df"))
+            dfreq.sortWithinPartitions("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{self.index_dir}/dfreq")
+            self._log("dfreq", 0, "completed", 0, 0, attempt, t0)
+
+    def _hot_terms_sampled(self, docs: DataFrame) -> DataFrame:
+        """Estimate the hot-term set (df > threshold) from a seeded sample.
+
+        Hot terms are by definition near-ubiquitous, so a small sample
+        finds them with near-certainty; misclassification only changes
+        sharding (perf), never index content. Returns a DataFrame(term)
+        suitable for broadcast."""
+        n_total = getattr(self, "_n_docs", None) or docs.count()
+        target = 5_000  # enough to see every df/N >= ~1% term w.h.p.
+        fraction = min(1.0, target / max(n_total, 1))
+        sample = docs.sample(fraction=fraction, seed=42) if fraction < 1.0 else docs
+        est = (
+            sample.select(F.explode(F.array_distinct(tokenize_expr("content"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("s_df"))
+        )
+        cutoff = self.hot_df_threshold * fraction
+        return est.filter(F.col("s_df") > cutoff).select("term")
+
+    def _build_fast(self, docs, done, attempt, fail_after_buckets) -> None:
+        if ("postings", -1) in done or all(
+            ("postings", b) in done for b in range(self.n_buckets)
+        ):
+            return
+        if fail_after_buckets is not None:
+            raise BuildAborted("injected failure before fast postings job")
+        t0 = time.monotonic()
+        trip = triples(docs).withColumn("bucket", _bucket_expr(self.n_buckets))
+        hot = self._hot_terms_sampled(docs)
+        postings = build_postings(
+            trip,
+            hot,
+            self.hot_df_threshold,
+            self.n_shards,
+            bucket_col=True,
+            hot_is_term_set=True,
+        )
+        (
+            postings.sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{self.index_dir}/postings")
+        )
+        self._log_bucket_lineage(list(range(self.n_buckets)), attempt, t0)
+
+    def _build_resumable(self, docs, done, attempt, fail_after_buckets) -> None:
         if ("triples", 0) not in done:
             t0 = time.monotonic()
             trip = triples(docs).withColumn("bucket", _bucket_expr(self.n_buckets))
-            trip.write.mode("overwrite").partitionBy("bucket").parquet(
-                f"{self.index_dir}/triples"
-            )
+            # sort by the partition column within tasks: the dynamic
+            # partition writer then streams ONE open file at a time instead
+            # of n_buckets concurrent writers per task
+            trip.sortWithinPartitions("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{self.index_dir}/triples")
             self._log("triples", 0, "completed", 0, 0, attempt, t0)
 
         trip = self.spark.read.parquet(f"{self.index_dir}/triples")
-
-        if ("dfreq", 0) not in done:
+        if ("tripdf", 0) not in done:
             t0 = time.monotonic()
-            # df per term; bucket carried through (term -> one bucket).
-            dfreq = trip.groupBy("term", "bucket").agg(F.count(F.lit(1)).alias("df"))
-            dfreq.write.mode("overwrite").partitionBy("bucket").parquet(
-                f"{self.index_dir}/dfreq"
-            )
-            self._log("dfreq", 0, "completed", 0, 0, attempt, t0)
+            # build-time df (salting input), bucketed like the triples
+            tdf = trip.groupBy("term", "bucket").agg(F.count(F.lit(1)).alias("df"))
+            tdf.sortWithinPartitions("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{self.index_dir}/_tripdf")
+            self._log("tripdf", 0, "completed", 0, 0, attempt, t0)
+        tdf = self.spark.read.parquet(f"{self.index_dir}/_tripdf")
 
-        dfreq = self.spark.read.parquet(f"{self.index_dir}/dfreq")
-
+        # Postings buckets are the lineage unit; commit_group buckets share
+        # one Spark job (partitionBy write). Granularity tradeoff: small
+        # groups = finer crash recovery, more driver-loop overhead; at
+        # 10^12-file scale size groups so one job runs ~30-60 min. A group
+        # that dies mid-job re-runs whole (its bucket dirs were not yet
+        # checkpointed), keeping resume idempotent.
+        group = self.commit_group or self.n_buckets
+        pending = [b for b in range(self.n_buckets) if ("postings", b) not in done]
         built = 0
-        for b in range(self.n_buckets):
-            if ("postings", b) in done:
-                continue
+        for gi in range(0, len(pending), group):
+            batch = pending[gi : gi + group]
             if fail_after_buckets is not None and built >= fail_after_buckets:
                 raise BuildAborted(f"injected failure after {built} buckets")
             t0 = time.monotonic()
-            bucket_trip = trip.filter(F.col("bucket") == b).select("doc_id", "term", "tf")
-            bucket_df = dfreq.filter(F.col("bucket") == b).select("term", "df")
+            batch_trip = trip.filter(F.col("bucket").isin(batch)).select(
+                "doc_id", "term", "tf", "bucket"
+            )
+            batch_df = tdf.filter(F.col("bucket").isin(batch)).select("term", "df")
             postings = build_postings(
-                bucket_trip, bucket_df, self.hot_df_threshold, self.n_shards
+                batch_trip, batch_df, self.hot_df_threshold, self.n_shards, bucket_col=True
             )
-            postings.write.mode("overwrite").parquet(f"{self.index_dir}/postings/bucket={b}")
-            n_terms = (
-                self.spark.read.parquet(f"{self.index_dir}/postings/bucket={b}")
-                .select("term")
-                .distinct()
-                .count()
+            # dynamic overwrite: only the batch's bucket dirs are replaced;
+            # sorted by bucket so each task streams one writer at a time
+            (
+                postings.sortWithinPartitions("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{self.index_dir}/postings")
             )
-            self._log("postings", b, "completed", 0, n_terms, attempt, t0)
-            built += 1
+            self._log_bucket_lineage(batch, attempt, t0)
+            built += len(batch)
+
+    def _log_bucket_lineage(self, buckets: list[int], attempt: int, t0: float) -> None:
+        """Per-bucket lineage rows from one metadata-only scan of the just
+        written postings (parquet prunes to bucket/term/df columns)."""
+        import pathlib
+
+        paths = [
+            p
+            for b in buckets
+            if (p := f"{self.index_dir}/postings/bucket={b}")
+            and pathlib.Path(p).exists()  # empty buckets write no dir
+        ]
+        if not paths:
+            for b in buckets:
+                self._log("postings", b, "completed", 0, 0, attempt, t0)
+            return
+        stats_rows = (
+            self.spark.read.option("basePath", f"{self.index_dir}/postings")
+            .parquet(*paths)
+            .groupBy("bucket")
+            .agg(
+                F.count_distinct(F.col("term")).alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+            )
+            .collect()
+        )
+        by_bucket = {int(r["bucket"]): r for r in stats_rows}
+        for b in buckets:
+            r = by_bucket.get(b)
+            self._log(
+                "postings",
+                b,
+                "completed",
+                int(r["n_postings"]) if r else 0,
+                int(r["n_terms"]) if r else 0,
+                attempt,
+                t0,
+            )
 
 
 class IndexReader:
@@ -194,14 +330,11 @@ class IndexReader:
         """Partition-pruned postings scan: bucket isin + term isin both push
         into the parquet source (verify via .explain: PartitionFilters /
         PushedFilters)."""
-        buckets = sorted(
-            {
-                r["b"]
-                for r in self.spark.createDataFrame([(t,) for t in terms], "term string")
-                .select(_bucket_expr(self.n_buckets).alias("b"))
-                .collect()
-            }
-        )
+        from search_engine_core_spark.functions.xxhash import term_bucket
+
+        # bucket computed driver-side with the pure-Python xxh64 twin of
+        # Spark's xxhash64 — no Spark job just to plan the scan
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         return self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )

@@ -69,7 +69,9 @@ def test_checkpoint_resume_identical(spark, small_corpus, tmp_path):
     clean_dir = str(tmp_path / "clean")
     crash_dir = str(tmp_path / "crash")
     IndexBuilder(spark, clean_dir, n_buckets=4, hot_df_threshold=50).build(small_corpus)
-    crash_builder = IndexBuilder(spark, crash_dir, n_buckets=4, hot_df_threshold=50)
+    crash_builder = IndexBuilder(
+        spark, crash_dir, n_buckets=4, hot_df_threshold=50, commit_group=1
+    )
     with pytest.raises(BuildAborted):
         crash_builder.build(small_corpus, fail_after_buckets=2)
     ck = spark.read.parquet(f"{crash_dir}/_checkpoint")
