@@ -41,12 +41,16 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
     partitions default to the core count: on a real cluster this would be
     2-3x total executor cores; AQE coalesces the excess either way.
+    ``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[4,4,8192]`` runs 4 real executor JVMs (the honest
+    multi-executor proxy for scaling measurements).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
@@ -54,7 +58,7 @@ def get_spark(
         shuffle_partitions = max(cores, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -72,6 +76,13 @@ def get_spark(
         # local proxy (and RAM is plentiful: 128 GiB).
         .config("spark.local.dir", _local_dir())
     )
+    if master and master.startswith("local-cluster"):
+        # executor memory must equal the per-worker MiB in the master
+        # string local-cluster[n,cores,mem_mib]
+        mem_mib = master.rstrip("]").split(",")[-1].strip()
+        builder = builder.config("spark.executor.memory", f"{mem_mib}m").config(
+            "spark.driver.memory", "8g"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

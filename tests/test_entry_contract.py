@@ -1,0 +1,83 @@
+"""Driver-contract lock: entry() smoke + a representative subset of
+queries() vs oracle_sql() DuckDB twins at sf0.001 (the full sweep lives in
+scripts/check_oracle.py; this keeps `pytest` alone sensitive to drift)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SUBSET = [
+    "q01_bm25_or_topk",
+    "q04_bm25_mixed_precedence",
+    "q05_bm25_phrase",
+    "q11_term_df_top20",
+    "q14_keywords_top3",
+    "q19_lang_id",
+    "q22_minhash_signature",
+    "q24_simhash",
+    "q26_cosine_bruteforce_topk",
+    "q29_antijoin_no_orders",
+    "q32_upsert_merge",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(rows, cols):
+    out = set()
+    for r in rows:
+        key = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 4)
+            key.append((c, v))
+        out.add(tuple(key))
+    return out
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.schema.simpleString() == "struct<doc_id:bigint,score:double>"
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    missing = set(qs) - set(os_)
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity_subset(spark, duck, name):
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    sdf = qs[name](spark, SF_DIR)
+    s_rows = [r.asDict() for r in sdf.collect()]
+    res = duck.execute(os_[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = [dict(zip(d_cols, row)) for row in res.fetchall()]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert len(s_rows) > 0, f"{name} matched on empty result (weak)"
+    assert _canon(s_rows, sdf.columns) == _canon(d_rows, d_cols)
