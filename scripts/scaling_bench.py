@@ -31,7 +31,6 @@ CORES_PER_EXEC = 4
 WORKER = r"""
 import json, sys, tempfile, time, shutil
 sys.path.insert(0, {repo!r})
-from search_engine_core_spark.corpus import synthesize_corpus
 from search_engine_core_spark.engine import IndexSearchEngine
 from search_engine_core_spark.session import get_spark
 from search_engine_core_spark.sources.index_io import IndexBuilder
@@ -40,12 +39,11 @@ n_exec = {n_exec}
 cores = n_exec * {cpe}
 n_docs = {n_docs}
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
-                  master=f"local-cluster[{{n_exec}},{cpe},6144]")
+                  master=f"local-cluster[{{n_exec}},{cpe},12288]")
 idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
-# corpus materialization untimed (harness, not engine)
-synthesize_corpus(spark, n_docs=n_docs, tokens_per_doc=200).write.mode(
-    "overwrite").parquet(idx + "/corpus")
-corpus = spark.read.parquet(idx + "/corpus")
+# corpus pre-materialized ONCE by the parent — identical input files for
+# both cluster sizes; generation is harness work, never timed
+corpus = spark.read.parquet({corpus_path!r})
 t0 = time.monotonic()
 IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
              n_shards=cores).build(corpus)
@@ -62,8 +60,29 @@ print("RESULT " + json.dumps({{"n_executors": n_exec, "cores": cores,
 """
 
 
-def run(n_exec: int, n_docs: int) -> dict:
-    code = WORKER.format(repo=str(REPO), n_exec=n_exec, n_docs=n_docs, cpe=CORES_PER_EXEC)
+def _materialize_corpus(n_docs: int) -> str:
+    """Generate the shared corpus parquet once, full local parallelism."""
+    path = f"/dev/shm/scale_corpus_{n_docs}"
+    if Path(path, "_SUCCESS").exists():
+        return path
+    code = (
+        f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+        "from search_engine_core_spark.corpus import synthesize_corpus\n"
+        "from search_engine_core_spark.session import get_spark\n"
+        "spark = get_spark('gen', cores=32)\n"
+        f"synthesize_corpus(spark, n_docs={n_docs}, tokens_per_doc=200)"
+        f".write.mode('overwrite').parquet({path!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True, timeout=3600)
+    return path
+
+
+def run(n_exec: int, n_docs: int, corpus_path: str) -> dict:
+    code = WORKER.format(
+        repo=str(REPO), n_exec=n_exec, n_docs=n_docs, cpe=CORES_PER_EXEC,
+        corpus_path=corpus_path,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -79,10 +98,20 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     e_small = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     e_big = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    # min-of-2 per config: the sandbox has noisy neighbors; best-case wall
+    import os
+
+    runs = int(os.environ.get("SCALE_RUNS", "2"))
+    corpus_path = _materialize_corpus(n_docs)
+    # min-of-N per config: the sandbox has noisy neighbors; best-case wall
     # time is the standard estimator under external interference
-    small = min((run(e_small, n_docs) for _ in range(2)), key=lambda r: r["build_sec"])
-    big = min((run(e_big, n_docs) for _ in range(2)), key=lambda r: r["build_sec"])
+    small = min(
+        (run(e_small, n_docs, corpus_path) for _ in range(runs)),
+        key=lambda r: r["build_sec"],
+    )
+    big = min(
+        (run(e_big, n_docs, corpus_path) for _ in range(runs)),
+        key=lambda r: r["build_sec"],
+    )
     eff = (small["build_sec"] / big["build_sec"]) / (e_big / e_small)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     block = f"""

@@ -65,3 +65,39 @@ def tokenize_pandas_udf(s: pd.Series) -> pd.Series:
 def tokenize_py(text: str) -> list[str]:
     """Pure-Python oracle tokenizer (tests only — never in a Spark plan)."""
     return [t for t in _PY_TOKEN_RE.findall((text or "").lower()) if len(t) >= MIN_TOKEN_LEN]
+
+
+def doc_tf_arrow(batches):
+    """mapInArrow: (doc_id, content) -> (doc_id, term, tf) — per-document
+    term frequencies computed ENTIRELY in Arrow C++ (utf8_lower,
+    split_pattern_regex, flatten + parent indices, hash group_by). This is
+    the map-side combine for the index build done at document granularity:
+    exact (every doc sits in one batch row), no JVM hash aggregation, and
+    the downstream shuffle carries ~distinct(doc,term) rows instead of one
+    row per token occurrence (3-4x fewer for code corpora).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("content")), TOKEN_SPLIT_RE
+        )
+        parents = toks.value_parent_indices()
+        vals = toks.flatten()
+        keep = pc.greater_equal(pc.utf8_length(vals), MIN_TOKEN_LEN)
+        vals = vals.filter(keep)
+        parents = parents.filter(keep)
+        doc_ids = pc.take(batch.column("doc_id"), parents)
+        t = pa.table({"doc_id": doc_ids, "term": vals})
+        agg = t.group_by(["doc_id", "term"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                agg.column("doc_id").combine_chunks(),
+                agg.column("term").combine_chunks(),
+                pc.cast(agg.column("count_all"), pa.int64()).combine_chunks(),
+            ],
+            names=["doc_id", "term", "tf"],
+        )

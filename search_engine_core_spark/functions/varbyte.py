@@ -19,13 +19,14 @@ _U64 = np.uint64
 _MAX_BYTES = 10  # ceil(64/7)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array. Vectorized: nbytes per value via threshold
-    sums (exact, no float log), then one fancy-indexed scatter per byte
-    position (≤10 passes regardless of array size)."""
+def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; also return per-value byte sizes (needed for
+    segmented/block offset bookkeeping). Vectorized: nbytes per value via
+    threshold sums (exact, no float log), then one fancy-indexed scatter
+    per byte position (≤10 passes regardless of array size)."""
     v = np.ascontiguousarray(values, dtype=_U64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for i in range(1, _MAX_BYTES):
         nbytes += (v >= (_U64(1) << _U64(7 * i))).astype(np.int64)
@@ -38,7 +39,11 @@ def vb_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> _U64(7 * i)) & _U64(0x7F)
         cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
         out[offsets[mask] + i] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    return vb_encode_with_sizes(values)[0]
 
 
 def vb_decode(buf: bytes | memoryview, offset: int = 0, count: int | None = None) -> np.ndarray:

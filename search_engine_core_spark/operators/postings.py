@@ -33,6 +33,7 @@ from search_engine_core_spark.functions.varbyte import (
     unbias,
     vb_decode,
     vb_encode,
+    vb_encode_with_sizes,
 )
 
 BLOCK = 128
@@ -81,58 +82,187 @@ def _encode_one(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:
     }
 
 
-def _encode_chunk(pdf: pd.DataFrame, with_bucket: bool) -> pd.DataFrame:
-    """Encode a sorted (term, shard, doc_id) chunk holding >=1 complete
-    groups. Group boundaries found vectorized; per-group work is numpy
-    slicing — no pandas dispatch per group (that costs ~100µs x millions
-    of distinct terms at scale)."""
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-    tfs = pdf["tf"].to_numpy().astype(np.uint64)
-    new_group = np.empty(len(pdf), dtype=bool)
+def _encode_chunk_arrow(tbl, with_bucket: bool):
+    """Encode an Arrow table (sorted by term, shard, doc_id) holding >=1
+    complete groups — ZERO per-group Python.
+
+    Two earlier generations of this operator were too slow at scale:
+    groupBy().applyInPandas() pays ~100µs pandas dispatch per group, and a
+    per-group numpy loop still pays ~150µs of small-array overhead per
+    group — fatal when code corpora have millions of distinct identifier
+    terms. This version is fully segmented-vectorized: group/block
+    boundaries via flatnonzero, per-block stats via maximum.reduceat, ONE
+    varbyte encode over the whole chunk's gap/tf streams with per-value
+    sizes, byte offsets via cumsum algebra, and zero-copy Arrow
+    list/binary construction. Strings never materialize as PyObjects
+    (Arrow take() only at group starts).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    terms = tbl.column("term").combine_chunks()
+    shards = tbl.column("shard").to_numpy()
+    doc_ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+    buckets = tbl.column("bucket").to_numpy() if with_bucket else None
+    # group boundary: term[i] != term[i-1] or shard changed — vectorized
+    # string compare in Arrow C++
+    if n > 1:
+        term_change = pc.not_equal(terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    else:
+        term_change = np.empty(0, dtype=bool)
+    new_group = np.empty(n, dtype=bool)
     new_group[0] = True
-    new_group[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    new_group[1:] = term_change | (shards[1:] != shards[:-1])
+
+    if "tf" in tbl.schema.names:
+        tfs_i = tbl.column("tf").to_numpy().astype(np.int64)
+    else:
+        # RAW-OCCURRENCE input (one row per token occurrence): tf is the
+        # run length of equal (term, shard, doc_id) rows. Doing this here
+        # — after the one (term, shard) shuffle, on already-sorted data —
+        # removes the upstream groupBy(doc_id, term) hash aggregation,
+        # which at 2M docs was a 205M-string-key exchange + spill and the
+        # single most expensive stage of the whole build.
+        run_start = new_group.copy()
+        run_start[1:] |= doc_ids[1:] != doc_ids[:-1]
+        run_idx = np.flatnonzero(run_start)
+        tfs_i = np.diff(np.append(run_idx, n)).astype(np.int64)
+        doc_ids = doc_ids[run_idx]
+        shards = shards[run_idx]
+        new_group = new_group[run_idx]
+        terms = pc.take(terms, pa.array(run_idx))
+        if buckets is not None:
+            buckets = buckets[run_idx]
+        n = run_idx.size
+
     starts = np.flatnonzero(new_group)
-    ends = np.append(starts[1:], len(pdf))
-    rows = []
-    buckets = pdf["bucket"].to_numpy() if with_bucket else None
-    for s, e in zip(starts, ends):
-        enc = _encode_one(doc_ids[s:e], tfs[s:e])
-        enc["term"] = terms[s]
-        enc["shard"] = int(shards[s])
-        if with_bucket:
-            enc["bucket"] = int(buckets[s])
-        rows.append(enc)
-    cols = (["bucket"] if with_bucket else []) + [
-        "term", "shard", "df", "max_tf", "block_first", "block_last", "block_n",
-        "block_gap_off", "block_tf_off", "block_max_tf", "doc_gaps", "tfs",
+    n_groups = starts.size
+    ends = np.append(starts[1:], n)
+
+    # ---- block segmentation (block = 128 rows within a group) ----
+    group_id = np.cumsum(new_group) - 1
+    pos_in_group = np.arange(n, dtype=np.int64) - starts[group_id]
+    is_block_start = (pos_in_group % BLOCK) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.append(block_starts[1:], n)  # group starts are block
+    block_group = group_id[block_starts]  # starts, so no block spans groups
+    blocks_per_group = np.bincount(block_group, minlength=n_groups)
+
+    # ---- doc-gap stream: within-block deltas, block-first stored apart --
+    u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
+    gaps_all = np.empty(n, dtype=np.uint64)
+    gaps_all[0] = 0
+    gaps_all[1:] = u[1:] - u[:-1]
+    gap_mask = ~is_block_start
+    gap_bytes, gap_sizes = vb_encode_with_sizes(gaps_all[gap_mask])
+    row_gap_len = np.zeros(n, dtype=np.int64)
+    row_gap_len[gap_mask] = gap_sizes
+    csum_gap = np.concatenate(([0], np.cumsum(row_gap_len)))  # byte pos BEFORE row i
+    group_gap_start = csum_gap[starts]
+    block_gap_off = csum_gap[block_starts] - group_gap_start[block_group]
+    group_gap_len = np.append(group_gap_start[1:], csum_gap[n]) - group_gap_start
+
+    # ---- tf stream: every row contributes ----
+    tf_bytes, tf_sizes = vb_encode_with_sizes(tfs_i.astype(np.uint64))
+    csum_tf = np.concatenate(([0], np.cumsum(tf_sizes)))
+    group_tf_start = csum_tf[starts]
+    block_tf_off = csum_tf[block_starts] - group_tf_start[block_group]
+    group_tf_len = np.append(group_tf_start[1:], csum_tf[n]) - group_tf_start
+
+    # ---- per-block / per-group stats ----
+    block_first = doc_ids[block_starts]
+    block_last = doc_ids[block_ends - 1]
+    block_n = block_ends - block_starts
+    block_max_tf = np.maximum.reduceat(tfs_i, block_starts)
+    df = ends - starts
+    max_tf = np.maximum.reduceat(tfs_i, starts)
+
+    # ---- zero-copy Arrow assembly ----
+    def list_arr(values: np.ndarray, dtype):
+        off = np.concatenate(([0], np.cumsum(blocks_per_group))).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(off), pa.array(values.astype(dtype)))
+
+    def bin_arr(buf: bytes, lens: np.ndarray):
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), n_groups, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)]
+        )
+
+    cols = {
+        "term": pc.take(terms, pa.array(starts)),
+        "shard": pa.array(shards[starts].astype(np.int32)),
+        "df": pa.array(df.astype(np.int64)),
+        "max_tf": pa.array(max_tf.astype(np.int32)),
+        "block_first": list_arr(block_first, np.int64),
+        "block_last": list_arr(block_last, np.int64),
+        "block_n": list_arr(block_n, np.int32),
+        "block_gap_off": list_arr(block_gap_off, np.int32),
+        "block_tf_off": list_arr(block_tf_off, np.int32),
+        "block_max_tf": list_arr(block_max_tf, np.int32),
+        "doc_gaps": bin_arr(gap_bytes, group_gap_len),
+        "tfs": bin_arr(tf_bytes, group_tf_len),
+    }
+    if with_bucket:
+        cols = {"bucket": pa.array(buckets[starts].astype(np.int32)), **cols}
+    return pa.RecordBatch.from_arrays(list(cols.values()), names=list(cols.keys()))
+
+
+def _arrow_schema(with_bucket: bool):
+    import pyarrow as pa
+
+    fields = ([("bucket", pa.int32())] if with_bucket else []) + [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("df", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_n", pa.list_(pa.int32())),
+        ("block_gap_off", pa.list_(pa.int32())),
+        ("block_tf_off", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("doc_gaps", pa.binary()),
+        ("tfs", pa.binary()),
     ]
-    return pd.DataFrame(rows, columns=cols)
+    return pa.schema(fields)
 
 
 def _encode_partition(batches, with_bucket: bool):
-    """mapInPandas over a partition sorted by (term, shard, doc_id): emit
+    """mapInArrow over a partition sorted by (term, shard, doc_id): emit
     one row per complete group, carrying the trailing incomplete group
     into the next Arrow batch (groups may span batch boundaries)."""
-    carry: pd.DataFrame | None = None
-    for pdf in batches:
-        if pdf.empty:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carry = None  # pyarrow.Table of the last (possibly incomplete) group
+    for batch in batches:
+        if batch.num_rows == 0:
             continue
+        tbl = pa.Table.from_batches([batch])
         if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
+            tbl = pa.concat_tables([carry, tbl]).combine_chunks()
             carry = None
-        last_term = pdf["term"].iloc[-1]
-        last_shard = pdf["shard"].iloc[-1]
-        tail_mask = (pdf["term"] == last_term) & (pdf["shard"] == last_shard)
-        # sorted input => the last group is a contiguous suffix
-        tail_start = len(pdf) - int(tail_mask.sum())
-        head = pdf.iloc[:tail_start]
-        carry = pdf.iloc[tail_start:]
-        if len(head):
-            yield _encode_chunk(head, with_bucket)
-    if carry is not None and len(carry):
-        yield _encode_chunk(carry, with_bucket)
+        n = tbl.num_rows
+        terms = tbl.column("term")
+        shards = tbl.column("shard")
+        last_term = terms[n - 1]
+        last_shard = shards[n - 1]
+        # sorted input => the last group is a contiguous suffix; find its
+        # start by scanning the equality mask from the end (vectorized)
+        eq = pc.and_(
+            pc.equal(terms, last_term), pc.equal(shards, last_shard)
+        ).to_numpy(zero_copy_only=False)
+        tail_len = int(eq[::-1].argmin()) if not eq.all() else n
+        tail_start = n - tail_len
+        head = tbl.slice(0, tail_start)
+        carry = tbl.slice(tail_start)
+        if head.num_rows:
+            yield _encode_chunk_arrow(head, with_bucket)
+    if carry is not None and carry.num_rows:
+        yield _encode_chunk_arrow(carry, with_bucket)
 
 
 def decode_postings_row(
@@ -198,7 +328,12 @@ def build_postings(
         .drop("_hot")
     )
     schema = ("bucket int, " + POSTINGS_SCHEMA) if bucket_col else POSTINGS_SCHEMA
-    cols = ["term", "shard", "doc_id", "tf"] + (["bucket"] if bucket_col else [])
+    # ``trip`` may be pre-aggregated (doc_id, term, tf) OR raw occurrences
+    # (doc_id, term — one row per token): the encoder run-length-counts tf
+    # itself on raw input, avoiding the giant groupBy(doc_id, term) agg.
+    cols = ["term", "shard", "doc_id"] + (["tf"] if "tf" in trip.columns else []) + (
+        ["bucket"] if bucket_col else []
+    )
     # JVM-side shuffle + Tungsten sort groups each (term, shard) run
     # contiguously; the Arrow mapInPandas then encodes whole batches with
     # numpy group-splitting — no per-group pandas dispatch (the naive
@@ -209,16 +344,28 @@ def build_postings(
     # encode, not IO-bound, so coalescing starves the executor cores
     # (observed: bimodal 2-3x slowdowns when AQE picked 4 of 16 slots).
     sess = trip.sparkSession
+    # over-partition 4x: per-task sort runs must fit execution memory or
+    # Tungsten spills to disk with multi-pass merges (measured: the sort
+    # of raw occurrences was THE build bottleneck when partitions were
+    # sized 1:1 with cores). AQE won't coalesce an explicit repartition.
     n_part = max(
-        sess.sparkContext.defaultParallelism,
+        4 * sess.sparkContext.defaultParallelism,
         int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    # Sort on xxhash64(term), not the string: Tungsten's radix sort uses an
+    # 8-byte prefix, and short code-identifier terms share prefixes, forcing
+    # full comparator calls (measured 3x the whole shuffle cost). An int64
+    # key keeps the sort pure radix. A hash collision merely interleaves
+    # two terms in one partition range — the encoder's term-change boundary
+    # then emits fragmented (but individually valid, doc-sorted) rows for
+    # each, which readers already handle exactly like shards.
     arranged = (
-        salted.select(*cols)
-        .repartition(n_part, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id")
+        salted.select(*cols, F.xxhash64("term").alias("_tid"))
+        .repartition(n_part, "_tid", "shard")
+        .sortWithinPartitions("_tid", "shard", "doc_id")
+        .drop("_tid")
     )
-    return arranged.mapInPandas(lambda it: _encode_partition(it, bucket_col), schema)
+    return arranged.mapInArrow(lambda it: _encode_partition(it, bucket_col), schema)
 
 
 def decode_postings_df(postings: DataFrame) -> DataFrame:

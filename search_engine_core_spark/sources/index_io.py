@@ -196,7 +196,14 @@ class IndexBuilder:
         if fail_after_buckets is not None:
             raise BuildAborted("injected failure before fast postings job")
         t0 = time.monotonic()
-        trip = triples(docs).withColumn("bucket", _bucket_expr(self.n_buckets))
+        # per-doc tf computed map-side in Arrow C++ (functions/tokenizer.
+        # doc_tf_arrow): no JVM hash agg, and the one shuffle carries
+        # distinct (doc, term) rows, not raw token occurrences
+        from search_engine_core_spark.functions.tokenizer import doc_tf_arrow
+
+        trip = docs.select("doc_id", "content").mapInArrow(
+            doc_tf_arrow, "doc_id long, term string, tf long"
+        ).withColumn("bucket", _bucket_expr(self.n_buckets))
         hot = self._hot_terms_sampled(docs)
         postings = build_postings(
             trip,

@@ -47,6 +47,22 @@ def test_postings_roundtrip(spark, small_corpus):
     assert _triple_set(decoded) == _triple_set(trip)
 
 
+def test_raw_occurrence_input_equals_preaggregated(spark, small_corpus):
+    """The encoder's run-length tf on raw token occurrences must produce
+    the same postings as pre-aggregated (doc_id, term, tf) triples."""
+    from search_engine_core_spark.functions.tokenizer import tokenize_expr
+
+    trip = triples(small_corpus).cache()
+    dfreq = doc_frequency(trip)
+    occ = small_corpus.select(
+        "doc_id", F.explode(tokenize_expr("content")).alias("term")
+    )
+    via_agg = build_postings(trip, dfreq, hot_df_threshold=30, n_shards=4)
+    via_raw = build_postings(occ, dfreq, hot_df_threshold=30, n_shards=4)
+    assert _triple_set(decode_postings_df(via_agg)) == _triple_set(decode_postings_df(via_raw))
+    trip.unpersist()
+
+
 def test_salted_equals_unsalted(spark, small_corpus):
     trip = triples(small_corpus).cache()
     dfreq = doc_frequency(trip).cache()
