@@ -45,8 +45,9 @@ idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 # both cluster sizes; generation is harness work, never timed
 corpus = spark.read.parquet({corpus_path!r})
 t0 = time.monotonic()
-IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
-             n_shards=cores).build(corpus)
+b = IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
+                 n_shards=cores)
+b.build(corpus)
 build = time.monotonic() - t0
 eng = IndexSearchEngine(spark, idx + "/i", n_buckets=8)
 t0 = time.monotonic()
@@ -56,7 +57,8 @@ for q in ["spark merge", "spark OR merge OR token", "config query parse",
 qsec = time.monotonic() - t0
 shutil.rmtree(idx, ignore_errors=True)
 print("RESULT " + json.dumps({{"n_executors": n_exec, "cores": cores,
-      "build_sec": build, "docs_per_sec": n_docs / build, "query_4_sec": qsec}}))
+      "build_sec": build, "docs_per_sec": n_docs / build, "query_4_sec": qsec,
+      "stages": {{k: round(v, 2) for k, v in b.stage_secs.items()}}}}))
 """
 
 

@@ -30,9 +30,13 @@ class SearchEngine:
         self.stats: CorpusStats = corpus_stats(self.docs)
         self.planner = Planner(self.docs, self.trip, self.dfreq, self.stats, field_map)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k (doc_id, score), deterministic tiebreak (score desc, id asc)."""
-        return self.planner.topk(query, k)
+    def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
+        """Top-k (doc_id, score), deterministic tiebreak (score desc, id asc).
+        ``algorithm`` selects the scorer — bm25 | tfidf | combined — the
+        Spark twin of ``SearchScorer::setAlgorithm`` / the ``SCORER``
+        passthrough (``src/scoring/SearchScorer.cpp:625-643``,
+        ``src/search_core/Scorer.cpp:27-38``)."""
+        return self.planner.topk(query, k, algorithm)
 
     def search_with_meta(self, query: str, k: int = 10) -> DataFrame:
         """Top-k joined back to document metadata + 200-char snippet (O6,
@@ -96,11 +100,11 @@ class IndexSearchEngine:
             trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
         return Planner(self.reader.docs, trip, self.reader.dfreq, self.stats, self.field_map)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
         from search_engine_core_spark.plans.planner import scoring_terms
 
         ast = QueryParser().parse(query)
-        return self._planner(scoring_terms(ast)).topk_ast(ast, k)
+        return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
 
     def search_wand(self, query: str, k: int = 10) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical

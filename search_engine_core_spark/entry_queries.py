@@ -5,8 +5,14 @@ driver's test tables (``documents``, ``embeddings``, TPC-H-ish tables) and
 pairs it with ANSI SQL DuckDB runs on the same parquet. Conventions that
 keep the two engines hash-identical:
 
-* every computed double is ``round(x, 4)`` on BOTH sides (ULP noise);
-* rankings order by the UNROUNDED score, ties broken by id;
+* every computed double is DOUBLE-ROUNDED ``round(round(x, 7), 4)`` on
+  BOTH sides: the inner round collapses cross-engine ULP noise BEFORE the
+  emitted 4-dp round can flip an ``x.xxxx5`` boundary;
+* rankings order by that ROUNDED score, ties broken by id — the ordering
+  is a function of the emitted values, so the k-boundary and OFFSET
+  windows are identical on both engines by construction (round-1 q02
+  lesson: ordering by the raw float let a ULP flip two near-tied rows
+  across the LIMIT);
 * Spark INT widths are cast to long where DuckDB returns BIGINT;
 * string hashing uses sha256 (identical hex on both engines); numeric
   hashing uses the portable 60-bit sha256-prefix trick (dedup.py).
@@ -41,16 +47,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _r2(col) -> F.Column:
+    """Double-round: collapse ULP noise at 7 dp, then emit at 4 dp."""
+    return F.round(F.round(col, 7), 4)
+
+
 def _round_score(df: DataFrame) -> DataFrame:
-    return df.select("doc_id", F.round("score", 4).alias("score"))
+    return df.select("doc_id", _r2(F.col("score")).alias("score"))
+
+
+def _ranked(scored: DataFrame, k: int | None = 10) -> DataFrame:
+    """Emit (doc_id, rounded score) ranked BY the rounded score + doc_id."""
+    out = _round_score(scored).orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out
 
 
 # ---------------------------------------------------------------- BM25 SQL
-def _bm25_sql(terms: list[str], cand_sql: str, k: int | None = 10, min_score: float | None = None) -> str:
+def _bm25_sql(
+    terms: list[str],
+    cand_sql: str,
+    k: int | None = 10,
+    min_score: float | None = None,
+    score_expr: str = "coalesce(sc.score, 0)",
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     tail = ""
     if min_score is not None:
-        tail += f" WHERE coalesce(sc.score, 0) >= {min_score}"
+        tail += f" WHERE round(round({score_expr}, 7), 4) >= {min_score}"
     limit = f" LIMIT {k}" if k is not None else ""
     return f"""
 WITH tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents),
@@ -70,9 +93,9 @@ scored AS (
   CROSS JOIN stats s
   WHERE f.doc_id IN (SELECT doc_id FROM cand)
   GROUP BY f.doc_id)
-SELECT c.doc_id, round(coalesce(sc.score, 0), 4) AS score
+SELECT c.doc_id, round(round({score_expr}, 7), 4) AS score
 FROM cand c LEFT JOIN scored sc ON c.doc_id = sc.doc_id{tail}
-ORDER BY coalesce(sc.score, 0) DESC, c.doc_id{limit}
+ORDER BY score DESC, c.doc_id{limit}
 """
 
 
@@ -80,9 +103,11 @@ _CAND_ANY = "SELECT DISTINCT doc_id FROM tok WHERE term IN ({t})"
 _CAND_ALL = "SELECT doc_id FROM tok WHERE term IN ({t}) GROUP BY doc_id HAVING count(DISTINCT term) = {n}"
 
 
-def _q_bm25(query: str, k: int = 10):
+def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _round_score(_engine(spark, sf_dir).search(query, k))
+        eng = _engine(spark, sf_dir)
+        ast = eng.planner.parser.parse(query)
+        return _ranked(eng.planner.scored_ast(ast, algorithm), k)
 
     return fn
 
@@ -105,16 +130,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.planner.candidates(eng.planner.parser.parse("vector OR window")),
             ["vector", "window"],
         )
-        return (
-            scored.filter(F.col("score") >= -1.2)
-            .select("doc_id", F.round("score", 4).alias("score"))
-        )
+        # membership decided on the ROUNDED score (same value both engines)
+        return _round_score(scored).filter(F.col("score") >= -1.2)
 
     q["q07_minscore_filter"] = q07
 
     def q08(spark, sf_dir):  # O2 pagination: page 2, limit 5
         eng = _engine(spark, sf_dir)
-        return _round_score(eng.search("spark OR merge", 10)).offset(5)
+        ast = eng.planner.parser.parse("spark OR merge")
+        return _ranked(eng.planner.scored_ast(ast), 10).offset(5)
 
     q["q08_pagination"] = q08
 
@@ -127,7 +151,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = Window.partitionBy()
         mn, mx = F.min("score").over(w), F.max("score").over(w)
         norm = F.when(mx - mn > 0, (F.col("score") - mn) / (mx - mn)).otherwise(F.col("score"))
-        return scored.select("doc_id", F.round(norm, 4).alias("norm_score"))
+        return scored.select("doc_id", _r2(norm).alias("norm_score"))
 
     q["q09_minmax_normalize"] = q09
 
@@ -344,6 +368,49 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q33_lineitem_rollup"] = q33
 
+    # --- selectable scoring algorithms (X1/X4, F5/F8/F11) ---
+    q["q34_tfidf_topk"] = _q_bm25("spark OR merge OR join", algorithm="tfidf")
+
+    def q35(spark, sf_dir):  # F11 RedisSearchCombined over a synthetic base
+        eng = _engine(spark, sf_dir)
+        ast = eng.planner.parser.parse("spark OR merge OR join")
+        scored = eng.planner.scored_ast(ast, "bm25")
+        base = (F.col("doc_id") % 3 + 1).cast("double")
+        return _ranked(
+            scored.select("doc_id", (base * 0.3 + F.col("score") * 0.7).alias("score"))
+        )
+
+    q["q35_combined_topk"] = q35
+
+    def q36(spark, sf_dir):  # F9/F10 fielded reference scorer end-to-end
+        from search_engine_core_spark.functions.reference_scorer import score_results
+
+        d = _docs(spark, sf_dir)
+        domain = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("github.com"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("stackoverflow.com"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("example.com"))
+            .otherwise(F.lit("docs.python.org"))
+        )
+        fielded = d.select(
+            F.concat(F.lit("https://"), domain, F.lit("/doc/"), F.col("doc_id")).alias(
+                "url"
+            ),
+            F.substring("text", 1, 48).alias("title"),
+            F.col("text").alias("content"),
+            F.substring("text", 49, 80).alias("description"),
+            domain.alias("domain"),
+            F.lit(0.0).alias("score"),
+        )
+        out = score_results(fielded, "spark data")
+        return out.select(
+            "url",
+            _r2(F.col("score")).alias("score"),
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+        )
+
+    q["q36_fielded_bm25"] = q36
+
     return q
 
 
@@ -365,9 +432,14 @@ def build_oracle_sql() -> dict[str, str]:
         "HAVING count(DISTINCT term) = 2 "
         "UNION SELECT DISTINCT doc_id FROM tok WHERE term = 'window'",
     )
+    # phrase = postings prefilter (all canonical tokens present) THEN the
+    # substring verify — mirrors the planner's postings-first plan and the
+    # reference's FT.SEARCH-hits-then-substring flow.
     o["q05_bm25_phrase"] = _bm25_sql(
         ["table", "scan", "merge"],
-        "SELECT doc_id FROM documents WHERE instr(lower(text), 'table scan') > 0 "
+        "SELECT doc_id FROM tok WHERE term IN ('table','scan') GROUP BY doc_id "
+        "HAVING count(DISTINCT term) = 2 "
+        "INTERSECT SELECT doc_id FROM documents WHERE instr(lower(text), 'table scan') > 0 "
         "INTERSECT SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'",
     )
     o["q06_bm25_field_filter"] = _bm25_sql(
@@ -401,9 +473,9 @@ scored AS (
   FROM tf f JOIN dft d USING (term) JOIN doclen l ON f.doc_id = l.doc_id
   CROSS JOIN stats s GROUP BY f.doc_id)
 SELECT doc_id,
-       round(CASE WHEN max(score) OVER () - min(score) OVER () > 0
+       round(round(CASE WHEN max(score) OVER () - min(score) OVER () > 0
              THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
-             ELSE score END, 4) AS norm_score
+             ELSE score END, 7), 4) AS norm_score
 FROM scored
 """
     o["q10_term_tf"] = f"""
@@ -574,12 +646,12 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
 q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)
-SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
+SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
   SELECT e.vec_id,
          list_dot_product(e.ev, q.qv)
          / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
   FROM e CROSS JOIN q WHERE e.vec_id <> 0)
-ORDER BY cos_raw DESC, vec_id LIMIT 10
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
     o["q26_cosine_bruteforce_topk"] = _cos
     bucket_expr = " + ".join(
@@ -594,12 +666,12 @@ WITH e AS (
          ({bucket_expr})::INTEGER AS bucket
   FROM embeddings),
 q AS (SELECT ev AS qv, bucket AS qb FROM e WHERE vec_id = 0)
-SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM (
+SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
   SELECT e.vec_id,
          list_dot_product(e.ev, q.qv)
          / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
   FROM e CROSS JOIN q WHERE e.vec_id <> 0 AND e.bucket = q.qb)
-ORDER BY cos_raw DESC, vec_id LIMIT 10
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
     o["q29_antijoin_no_orders"] = """
 SELECT c_custkey FROM customer c
@@ -633,5 +705,97 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    # TF-IDF (SearchScorer.cpp:287-397 content branch): capped/log tf (F5),
+    # char-length normalization, idf = ln(N/df) with df-defaults-to-1 (F8).
+    o["q34_tfidf_topk"] = f"""
+WITH tokarr AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n FROM tokarr),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({t3}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+        WHERE term IN ({t3}) GROUP BY term),
+charlen AS (SELECT doc_id, length(text)::DOUBLE AS cl FROM documents),
+cand AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({t3})),
+scored AS (
+  SELECT f.doc_id,
+         sum( ln(1.0 + least(f.tf, 10.0)) / c.cl * ln(s.n / coalesce(d.df, 1.0)) ) AS score
+  FROM tf f LEFT JOIN dft d USING (term) JOIN charlen c ON f.doc_id = c.doc_id
+  CROSS JOIN stats s
+  WHERE f.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY f.doc_id)
+SELECT c.doc_id, round(round(coalesce(sc.score, 0), 7), 4) AS score
+FROM cand c LEFT JOIN scored sc ON c.doc_id = sc.doc_id
+ORDER BY score DESC, c.doc_id LIMIT 10
+"""
+    # F11 RedisSearchCombined: 0.3*base + 0.7*custom (SearchScorer.cpp:399-423)
+    o["q35_combined_topk"] = _bm25_sql(
+        ["spark", "merge", "join"],
+        _CAND_ANY.format(t=t3),
+        score_expr="(c.doc_id % 3 + 1) * 0.3 + coalesce(sc.score, 0) * 0.7",
+    )
+    # Fielded reference scorer (q36): BM25 per field x field weights (F9),
+    # reference-default stats N=1000/avgdl=100/df=0 (SearchScorer.h:157-159),
+    # char-length doclen, title-only matchedTerms, case-sensitive title
+    # boost + domain boost (F10), minScore filter then min-max normalize —
+    # the full scoreResults pipeline (SearchScorer.cpp:129-223,581-600).
+    def _toks_of(col: str) -> str:
+        return (
+            f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),"
+            " s -> length(s) >= 2)"
+        )
+
+    _IDF36 = "ln((1000 - 0 + 0.5) / (0 + 0.5))"
+
+    def _bm36(tf: str, dl: str, w: float) -> str:
+        return (
+            f"CASE WHEN {tf} > 0 THEN {_IDF36} * ({tf} * 2.2) / "
+            f"({tf} + 1.2 * (1 - 0.75 + 0.75 * ({dl} / 100.0))) * {w} ELSE 0.0 END"
+        )
+
+    _terms36 = ["spark", "data"]
+    _tf36 = ",\n    ".join(
+        f"len(list_filter({_toks_of(fld)}, s -> s = '{t}'))::DOUBLE AS {al}{i}"
+        for fld, al in (("title", "tt"), ("content", "tc"), ("description", "td"))
+        for i, t in enumerate(_terms36)
+    )
+    _title_s = " + ".join(_bm36(f"tt{i}", "length(title)", 5.0) for i in range(2))
+    _content_s = " + ".join(_bm36(f"tc{i}", "length(content)", 1.0) for i in range(2))
+    _desc_s = " + ".join(
+        f"CASE WHEN length(description) > 0 THEN {_bm36(f'td{i}', 'length(description)', 3.0)} ELSE 0.0 END"
+        for i in range(2)
+    )
+    _matched = " + ".join(f"(CASE WHEN tt{i} > 0 THEN 1 ELSE 0 END)" for i in range(2))
+    _title_find = " OR ".join(f"instr(title, '{t}') > 0" for t in _terms36)
+    o["q36_fielded_bm25"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         substr(text, 1, 48) AS title,
+         text AS content,
+         substr(text, 49, 80) AS description,
+         CASE WHEN doc_id % 4 = 0 THEN 'github.com'
+              WHEN doc_id % 4 = 1 THEN 'stackoverflow.com'
+              WHEN doc_id % 4 = 2 THEN 'example.com'
+              ELSE 'docs.python.org' END AS domain
+  FROM documents),
+t AS (
+  SELECT 'https://' || domain || '/doc/' || doc_id AS url, title, content, description, domain,
+    {_tf36}
+  FROM f),
+calc AS (
+  SELECT url,
+         (({_title_s}) + ({_content_s}) + ({_desc_s}))
+         * (1.0 + (CASE WHEN domain IN ('github.com', 'stackoverflow.com') THEN 1.2 ELSE 0.0 END)
+                + (CASE WHEN {_title_find} THEN 1.5 ELSE 0.0 END)) AS total,
+         {_matched} AS matched
+  FROM t),
+scored AS (SELECT url, total, matched FROM calc WHERE total >= 0.01)
+SELECT url,
+       round(round(CASE WHEN max(total) OVER () - min(total) OVER () > 0
+             THEN (total - min(total) OVER ()) / (max(total) OVER () - min(total) OVER ())
+             ELSE total END, 7), 4) AS score,
+       matched::BIGINT AS matched_terms
+FROM scored
 """
     return o

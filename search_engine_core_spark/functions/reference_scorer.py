@@ -22,6 +22,9 @@ Preserved quirks (each cited):
   usually fires only for lowercase titles; replicated verbatim;
 * domain boost for github.com / stackoverflow.com
   (``SearchScorer.cpp:505-507``);
+* keyword branch (``SearchScorer.cpp:183-189``): per query term, if ANY
+  keyword matches it (word-boundary ≈ token containment), add exactly
+  1.0*keywords_w once (the reference breaks after the first keyword);
 * drop results below minScore=0.01, THEN min-max normalize to [0,1]
   (``SearchScorer.cpp:581-600``).
 
@@ -140,6 +143,8 @@ def score_results_py(
     for r in rows:
         title, content, desc = (r.get("title") or "", r.get("content") or "", r.get("description") or "")
         domain = r.get("domain") or ""
+        kw_raw = r.get("keywords") or []
+        keywords = kw_raw.split("|") if isinstance(kw_raw, str) else list(kw_raw)
         try:
             base = float(r.get("score") or 0.0)
         except ValueError:
@@ -149,7 +154,7 @@ def score_results_py(
             _tf_map(content),
             _tf_map(desc),
         )
-        title_s = content_s = desc_s = 0.0
+        title_s = content_s = desc_s = kw_s = 0.0
         matched = 0
         for t in terms:
             df = stats.dfreq.get(t, 0)
@@ -164,6 +169,14 @@ def score_results_py(
                 td = tf_desc.get(t, 0)
                 if td > 0:
                     desc_s += _bm25(td, len(desc), df, stats, cfg) * cfg.description_w
+            # keyword branch (SearchScorer.cpp:183-189): +1.0*keywords_w per
+            # query term matching ANY keyword (word-boundary countTerm-
+            # Occurrences ≈ token containment under the canonical tokenizer),
+            # break after the first matching keyword.
+            for kw in keywords:
+                if t in tokenize_py(kw):
+                    kw_s += 1.0 * cfg.keywords_w
+                    break
         exact = 0.0
         for p in phrases:
             pl = p.lower()
@@ -171,7 +184,7 @@ def score_results_py(
                 exact += cfg.exact_match_boost * cfg.title_w
             if pl and pl in content.lower():
                 exact += cfg.exact_match_boost * cfg.content_w
-        total = title_s + content_s + desc_s + exact
+        total = title_s + content_s + desc_s + kw_s + exact
         if base > 0:
             total *= base
         boost = 0.0
@@ -250,10 +263,22 @@ def score_results(
     desc = F.coalesce(F.col("description"), F.lit(""))
     domain = F.coalesce(F.col("domain"), F.lit(""))
     base = F.coalesce(F.col("score"), F.lit(0.0)).cast("double")
+    # keywords: array<string> or '|'-joined string column (F20), optional
+    if "keywords" in docs.columns:
+        kw_arr = (
+            F.split(F.coalesce(F.col("keywords"), F.lit("")), r"\|")
+            if dict(docs.dtypes)["keywords"] == "string"
+            else F.coalesce(F.col("keywords"), F.array())
+        )
+    else:
+        kw_arr = None
+
+    from search_engine_core_spark.functions.tokenizer import tokenize_expr
 
     title_s = F.lit(0.0)
     content_s = F.lit(0.0)
     desc_s = F.lit(0.0)
+    kw_s = F.lit(0.0)
     matched = F.lit(0)
     for t in terms:
         df = stats.dfreq.get(t, 0)
@@ -266,6 +291,16 @@ def score_results(
             F.length(desc) > 0, _bm25_expr(td, F.length(desc), df, stats, cfg) * cfg.description_w
         ).otherwise(F.lit(0.0))
         matched = matched + F.when(tt > 0, F.lit(1)).otherwise(F.lit(0))
+        if kw_arr is not None:
+            # keyword branch (SearchScorer.cpp:183-189): ONE +keywords_w per
+            # term if any keyword contains it (break ≡ exists), word-boundary
+            # match ≈ token containment under the canonical tokenizer.
+            has_kw = F.exists(
+                kw_arr, lambda kw: F.array_contains(tokenize_expr(kw), t)
+            )
+            kw_s = kw_s + F.when(has_kw, F.lit(1.0 * cfg.keywords_w)).otherwise(
+                F.lit(0.0)
+            )
 
     exact = F.lit(0.0)
     for p in phrases:
@@ -277,7 +312,7 @@ def score_results(
             F.instr(F.lower(content), F.lit(pl)) > 0, F.lit(cfg.exact_match_boost * cfg.content_w)
         ).otherwise(F.lit(0.0))
 
-    total = title_s + content_s + desc_s + exact
+    total = title_s + content_s + desc_s + kw_s + exact
     total = F.when(base > 0, total * base).otherwise(total)
 
     boost = F.when(domain.isin("github.com", "stackoverflow.com"), F.lit(cfg.domain_authority_boost)).otherwise(F.lit(0.0))

@@ -61,9 +61,18 @@ def vb_decode(buf: bytes | memoryview, offset: int = 0, count: int | None = None
     ends = (b & 0x80) == 0
     if count is not None:
         end_positions = np.flatnonzero(ends)
-        if count < end_positions.size:
-            b = b[: end_positions[count - 1] + 1] if count > 0 else b[:0]
-            ends = ends[: b.size]
+        if end_positions.size < count:
+            raise ValueError(
+                f"truncated varbyte stream: {end_positions.size} terminated "
+                f"values, {count} requested"
+            )
+        # slice to the count-th terminator even when counts match: trailing
+        # continuation bytes past it must never scatter out of bounds
+        b = b[: end_positions[count - 1] + 1] if count > 0 else b[:0]
+        ends = ends[: b.size]
+    elif b.size and (b[-1] & 0x80):
+        # no count given: the stream itself must be well-terminated
+        raise ValueError("truncated varbyte stream: trailing bytes lack a terminator")
     n_vals = int(ends.sum())
     if n_vals == 0:
         return np.empty(0, dtype=_U64)

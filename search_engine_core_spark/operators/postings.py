@@ -368,6 +368,44 @@ def build_postings(
     return arranged.mapInArrow(lambda it: _encode_partition(it, bucket_col), schema)
 
 
+def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+    """Segmented-vectorized decode of a whole pandas batch of postings rows
+    — the decoder mirror of ``_encode_chunk_arrow``: ONE varbyte decode over
+    the batch's concatenated gap/tf streams, doc_ids via a reset-at-block
+    cumsum, ZERO per-row Python loops (the old ``to_dict('records')`` loop
+    paid per-posting-row Python dispatch, fatal on the compaction/
+    equivalence paths where rows = every term in the index)."""
+    if pdf.empty:
+        return None
+    from search_engine_core_spark.functions.varbyte import vb_decode as _vbd
+
+    df_row = pdf["df"].to_numpy(dtype=np.int64)
+    bn_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_n"]])
+    bf_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_first"]])
+    total = int(df_row.sum())
+    # value-index of each block's first posting within the concat stream
+    block_starts = np.concatenate(([0], np.cumsum(bn_flat)[:-1]))
+    is_start = np.zeros(total, dtype=bool)
+    is_start[block_starts] = True
+    gaps_all = _vbd(b"".join(pdf["doc_gaps"]), count=total - block_starts.size)
+    tf_all = _vbd(b"".join(pdf["tfs"]), count=total)
+    # biased values: block firsts at starts, gaps elsewhere; cumsum with a
+    # per-block reset (cs[i] - cs[start] + vals[start]) — exact under u64 wrap
+    vals = np.empty(total, dtype=np.uint64)
+    vals[is_start] = bf_flat.astype(np.uint64) + np.uint64(1 << 63)
+    vals[~is_start] = gaps_all
+    cs = np.cumsum(vals, dtype=np.uint64)
+    blk_of = np.cumsum(is_start) - 1
+    u = cs - cs[block_starts[blk_of]] + vals[block_starts[blk_of]]
+    return pd.DataFrame(
+        {
+            "doc_id": unbias(u),
+            "term": np.repeat(pdf["term"].to_numpy(), df_row),
+            "tf": tf_all.astype(np.int64),
+        }
+    )
+
+
 def decode_postings_df(postings: DataFrame) -> DataFrame:
     """Postings rows -> (doc_id, term, tf) triples via Arrow mapInPandas —
     the inverse of build_postings; used by the materialized query path and
@@ -375,22 +413,53 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
+            out = _decode_chunk(pdf)
+            if out is not None:
+                yield out
+
+    return postings.mapInPandas(gen, "doc_id long, term string, tf long")
+
+
+def decode_postings_for_docs(postings: DataFrame, target_ids: np.ndarray) -> DataFrame:
+    """Block-targeted decode: emit (doc_id, term, tf) ONLY for docs in
+    ``target_ids`` (sorted int64). Per row, binary-search which blocks'
+    [block_first, block_last] ranges intersect the target set and byte-
+    decode just those (the block offsets make the skip real); posting rows
+    whose blocks all miss are never touched. This is WAND's exact-scoring
+    primitive — it replaces full postings decodes for seed/survivor docs."""
+    targets = np.unique(np.asarray(target_ids, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
             ids_all: list[np.ndarray] = []
             tfs_all: list[np.ndarray] = []
             terms_all: list[np.ndarray] = []
             for row in pdf.to_dict("records"):
-                ids, tfs = decode_postings_row(row)
-                ids_all.append(ids)
-                tfs_all.append(tfs.astype(np.int64))
-                terms_all.append(np.repeat(row["term"], ids.size))
-            if not ids_all:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(ids_all),
-                    "term": np.concatenate(terms_all),
-                    "tf": np.concatenate(tfs_all),
-                }
-            )
+                bf = np.asarray(row["block_first"], dtype=np.int64)
+                bl = np.asarray(row["block_last"], dtype=np.int64)
+                # block intersects targets iff a target falls in [first,last]
+                mask = np.searchsorted(targets, bf, "left") < np.searchsorted(
+                    targets, bl, "right"
+                )
+                if not mask.any():
+                    continue
+                ids, tfs = decode_postings_row(row, block_mask=mask)
+                keep = (
+                    np.searchsorted(targets, ids, "right")
+                    - np.searchsorted(targets, ids, "left")
+                ) > 0
+                if not keep.any():
+                    continue
+                ids_all.append(ids[keep])
+                tfs_all.append(tfs[keep].astype(np.int64))
+                terms_all.append(np.repeat(row["term"], int(keep.sum())))
+            if ids_all:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_all),
+                        "term": np.concatenate(terms_all),
+                        "tf": np.concatenate(tfs_all),
+                    }
+                )
 
     return postings.mapInPandas(gen, "doc_id long, term string, tf long")

@@ -51,9 +51,13 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector. One scan, one
     TakeOrderedAndProject — embarrassingly parallel; ties broken by id."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # rank by the DOUBLE-ROUNDED cosine (round 7 then 4) + id tiebreak: the
+    # inner round collapses cross-engine ULP noise, the outer one is the
+    # emitted precision, and making the ORDER a function of the emitted
+    # value keeps the k-boundary identical on both engines.
     out = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        F.round(F.round(cosine(F.col(vec_col), q), 7), 4).alias("cos_sim"),
     )
     if exclude_id is not None:
         out = out.filter(F.col("vec_id") != exclude_id)
@@ -91,7 +95,7 @@ def lsh_topk(
         .filter(F.col("bucket") == qbucket)
         .select(
             F.col(id_col).alias("vec_id"),
-            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+            F.round(F.round(cosine(F.col(vec_col), q), 7), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)

@@ -124,8 +124,20 @@ class WandTopK:
         )
         return per.groupBy("doc_id").agg(F.sum("ts").alias("score"))
 
-    def topk(self, terms: list[str], k: int = 10, mode: str = "OR") -> DataFrame:
-        """terms must be canonical tokens. Returns (doc_id, score) top-k."""
+    def topk(
+        self, terms: list[str], k: int = 10, mode: str = "OR", seed_cap: int = 200_000
+    ) -> DataFrame:
+        """terms must be canonical tokens. Returns (doc_id, score) top-k.
+
+        Decode discipline (the whole point of WAND): the ONLY term ever
+        fully decoded is the RAREST one. Every other term is touched two
+        ways, both block-skipping: (a) block-targeted decode restricted to
+        the seed/survivor doc sets (binary search on block_first/block_last
+        — misses are never byte-read), (b) the θ-pruned pass over block_max
+        metadata. Hot terms with df≈N are never materialized, which is what
+        kept the old eager ``decode_postings_df(postings)`` from scaling.
+        ``seed_cap`` guards the driver-side seed-id collect; above it we
+        degrade to the distributed full-decode path (correct, slower)."""
         spark = self.reader.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -148,25 +160,45 @@ class WandTopK:
             postings.unpersist()
             return empty
 
+        from search_engine_core_spark.operators.postings import (
+            decode_postings_df,
+            decode_postings_for_docs,
+        )
+
         rarest = min(present, key=lambda t: term_stats[t][0])
         rare_post = postings.filter(F.col("term") == rarest)
-        # docs holding the rarest term
-        from search_engine_core_spark.operators.postings import decode_postings_df
+        rest_post = postings.filter(F.col("term") != rarest)
 
-        rare_docs = decode_postings_df(rare_post).select("doc_id")
+        if term_stats[rarest][0] > seed_cap:
+            # degenerate query: every term is hot — fall back to the
+            # distributed full decode (no driver-side id set).
+            rows = self._topk_full_decode(postings, term_stats, present, k, mode)
+            postings.unpersist()
+            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
-        # pass 1: exact scores for rare-term docs over all query terms
-        # (decoded once, materialized — reused by AND, seed and survivor paths)
-        all_trip = decode_postings_df(postings).localCheckpoint(eager=True)
+        # pass 1: decode ONLY the rarest term fully; its doc set seeds both
+        # AND candidates and the OR threshold θ. One job: the rare triples
+        # are collected whole (bounded by seed_cap) — the id set must reach
+        # the driver anyway to parameterize the block-targeted decode.
+        rare_rows = decode_postings_df(rare_post).collect()
+        if not rare_rows:
+            postings.unpersist()
+            return empty
+        rare_ids = np.sort(np.array([r["doc_id"] for r in rare_rows], dtype=np.int64))
+        rare_trip = spark.createDataFrame(rare_rows, "doc_id long, term string, tf long")
+        seed_trip = rare_trip.unionByName(
+            decode_postings_for_docs(rest_post, rare_ids)
+        )
+
         if mode == "AND":
             cand = (
-                all_trip.groupBy("doc_id")
+                seed_trip.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("_nt"))
                 .filter(F.col("_nt") == len(present))
                 .select("doc_id")
             )
             rows = (
-                self._score_exact(all_trip.join(cand, "doc_id", "left_semi"), term_stats)
+                self._score_exact(seed_trip.join(cand, "doc_id", "left_semi"), term_stats)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -174,32 +206,63 @@ class WandTopK:
             postings.unpersist()
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
-        seed_trip = all_trip.join(rare_docs, "doc_id", "left_semi")
         seed_scores = self._score_exact(seed_trip, term_stats)
         seed_top = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         theta = seed_top[-1]["score"] if len(seed_top) >= k else float("-inf")
 
-        # pass 2: pruned decode of the other terms' postings
+        # pass 2: θ-pruned decode of the other terms (block-max skipping),
+        # survivors = pruned docs not already seeded
         ubs = {t: term_upper_bound(d, m, n) for t, (d, m) in term_stats.items()}
         idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
         others_ub = {t: sum(u for t2, u in ubs.items() if t2 != t) for t in ubs}
-        rest_post = postings.filter(F.col("term") != rarest)
         pruned_trip = decode_pruned(rest_post, others_ub, idfs, theta)
-        extra_docs = pruned_trip.select("doc_id").distinct().join(
-            rare_docs, "doc_id", "left_anti"
+        pruned_ids = np.array(
+            [r["doc_id"] for r in pruned_trip.select("doc_id").distinct().collect()],
+            dtype=np.int64,
         )
-        # exact scoring for survivors needs ALL their terms -> re-join the
-        # full decoded triples restricted to survivor docs
-        extra_trip = all_trip.join(extra_docs, "doc_id", "left_semi")
-        extra_scores = self._score_exact(extra_trip, term_stats)
-
-        # Eager finish: θ was already a driver-side decision, and k rows are
-        # tiny — collecting here lets us release the cached postings safely.
-        rows = (
-            seed_scores.unionByName(extra_scores)
+        extra_ids = np.setdiff1d(pruned_ids, rare_ids)
+        if extra_ids.size == 0:
+            postings.unpersist()
+            return (
+                spark.createDataFrame(seed_top, "doc_id long, score double")
+                if seed_top
+                else empty
+            )
+        # exact scoring for survivors: block-targeted decode of ALL their
+        # terms (survivors hold no rarest-term postings by construction)
+        extra_trip = decode_postings_for_docs(rest_post, extra_ids)
+        extra_top = (
+            self._score_exact(extra_trip, term_stats)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
         )
         postings.unpersist()
-        return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+        merged = sorted(
+            list(seed_top) + list(extra_top), key=lambda r: (-r["score"], r["doc_id"])
+        )[:k]
+        return spark.createDataFrame(merged, "doc_id long, score double") if merged else empty
+
+    def _topk_full_decode(
+        self, postings: DataFrame, term_stats, present: list[str], k: int, mode: str
+    ) -> list:
+        """Fallback when even the rarest term exceeds the seed cap: one
+        distributed decode + exact scoring (no pruning possible — every
+        candidate can reach θ when all terms are hot)."""
+        from search_engine_core_spark.operators.postings import decode_postings_df
+
+        trip = decode_postings_df(postings)
+        if mode == "AND":
+            cand = (
+                trip.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") == len(present))
+                .select("doc_id")
+            )
+            trip = trip.join(cand, "doc_id", "left_semi")
+        return (
+            self._score_exact(trip, term_stats)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )

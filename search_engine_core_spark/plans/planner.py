@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from search_engine_core_spark.functions.scoring import bm25_term_score
+from search_engine_core_spark.functions.scoring import (
+    bm25_term_score,
+    capped_log_tf,
+    combined_score,
+    tfidf_idf,
+)
 from search_engine_core_spark.functions.tokenizer import tokenize_py
 from search_engine_core_spark.operators.stats import CorpusStats
 from search_engine_core_spark.plans.query_parser import (
@@ -85,9 +90,20 @@ class Planner:
     # -- candidate sets -------------------------------------------------
     def _term_docs(self, term: Term) -> DataFrame:
         if term.exact:
-            # F4: case-insensitive substring containment on raw content.
+            # F4: case-insensitive substring containment — but postings
+            # FIRST: the reference substring-checks only the FT.SEARCH
+            # result set (docs matching the phrase's tokens), never the
+            # whole corpus (``SearchScorer.cpp:116-125`` runs on hits).
+            # Intersect the postings of the phrase's canonical tokens,
+            # then substring-verify just those candidates; at 100 TB the
+            # verify scan reads content for a tiny semi-joined slice
+            # instead of every byte of the corpus.
             phrase = term.value.lower()
-            return self.docs.filter(
+            toks = tokenize_py(term.value)
+            base = self.docs
+            if toks:
+                base = base.join(self._docs_with_all_terms(toks), "doc_id", "left_semi")
+            return base.filter(
                 F.instr(F.lower(F.col("content")), F.lit(phrase)) > 0
             ).select("doc_id")
         toks = tokenize_py(term.value)
@@ -165,12 +181,72 @@ class Planner:
         # phrase-only queries) keep score 0.
         return cand.join(scored, "doc_id", "left").fillna({"score": 0.0})
 
-    def topk(self, query: str, k: int = 10) -> DataFrame:
-        """Parse + retrieve + score + deterministic top-k (O1-O3)."""
-        return self.topk_ast(self.parser.parse(query), k)
+    def score_tfidf(self, cand: DataFrame, terms: list[str]) -> DataFrame:
+        """X1 TF-IDF algorithm (``SearchScorer.cpp:287-397`` content branch):
+        per (doc, term) score = log(1 + min(tf, 10)) / charlen * log(N/df)
+        — F5 cap/log defaults, normalizeByLength with CHARACTER length
+        (``SearchScorer.h:32-36``), F8 idf with the df-defaults-to-1 quirk
+        (``SearchScorer.cpp:377-382``). tf comes from the canonical
+        tokenizer rather than the reference's word-boundary regex count
+        (F3 deviation, identical for alnum terms in natural text)."""
+        if not terms:
+            return cand.withColumn("score", F.lit(0.0))
+        q_trip = self.trip.filter(F.col("term").isin(terms))
+        q_df = self.dfreq.filter(F.col("term").isin(terms))
+        per_term = q_trip.join(cand, "doc_id", "left_semi")
+        charlen = self.docs.select("doc_id", F.length("content").alias("_charlen"))
+        scored = (
+            per_term.join(F.broadcast(q_df), "term", "left")
+            .join(charlen, "doc_id", "inner")
+            .withColumn(
+                "term_score",
+                capped_log_tf(F.col("tf"))
+                / F.col("_charlen").cast("double")
+                * tfidf_idf(F.col("df"), self.stats.n_docs),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("term_score").alias("score"))
+        )
+        return cand.join(scored, "doc_id", "left").fillna({"score": 0.0})
 
-    def topk_ast(self, ast: Node, k: int = 10) -> DataFrame:
+    def topk(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
+        """Parse + retrieve + score + deterministic top-k (O1-O3)."""
+        return self.topk_ast(self.parser.parse(query), k, algorithm)
+
+    def scored_ast(self, ast: Node, algorithm: str = "bm25") -> DataFrame:
+        """Full scored candidate set (doc_id, score), no ordering/limit.
+        ``algorithm``: bm25 | tfidf | combined (X1/X4,
+        ``SearchScorer.cpp:625-643`` setAlgorithm dispatch). ``combined``
+        is F11 RedisSearchCombined: 0.3*base + 0.7*custom
+        (``SearchScorer.cpp:399-423``); the base score column is
+        ``base_score`` on docs when present, else the reference's
+        baseScore default 1.0 (``SearchScorer.h:75``)."""
         terms = scoring_terms(ast)
         cand = self.candidates(ast)
-        scored = self.score(cand, terms)
+        if algorithm == "bm25":
+            return self.score(cand, terms)
+        if algorithm == "tfidf":
+            return self.score_tfidf(cand, terms)
+        if algorithm == "combined":
+            scored = self.score(cand, terms)
+            if "base_score" in self.docs.columns:
+                base = self.docs.select(
+                    "doc_id", F.col("base_score").cast("double").alias("_base")
+                )
+                scored = scored.join(base, "doc_id", "left").fillna({"_base": 1.0})
+            else:
+                scored = scored.withColumn("_base", F.lit(1.0))
+            # doc.baseScore > 0 guards the combine (SearchScorer.cpp:404)
+            return scored.select(
+                "doc_id",
+                F.when(
+                    F.col("_base") > 0, combined_score(F.col("_base"), F.col("score"))
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        raise ValueError(f"unknown algorithm {algorithm!r} (bm25|tfidf|combined)")
+
+    def topk_ast(self, ast: Node, k: int = 10, algorithm: str = "bm25") -> DataFrame:
+        scored = self.scored_ast(ast, algorithm)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

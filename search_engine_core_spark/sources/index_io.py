@@ -29,7 +29,7 @@ to one bucket directory (partition pruning on the parquet scan).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +61,7 @@ class IndexBuilder:
     hot_df_threshold: int = 100_000
     n_shards: int = 8
     commit_group: int | None = None  # buckets per write job (None = all)
+    stage_secs: dict = field(default_factory=dict)  # per-stage wall seconds
 
     # -- checkpoint ------------------------------------------------------
     def _ckpt_path(self) -> str:
@@ -87,21 +88,25 @@ class IndexBuilder:
         except Exception:
             return 1
 
+    def _mark(self, stage: str, t0: float) -> float:
+        dur = time.monotonic() - t0
+        self.stage_secs[stage] = self.stage_secs.get(stage, 0.0) + dur
+        return dur
+
     def _log(self, stage: str, partition_id: int, status: str, n_docs: int, n_terms: int, attempt: int, t0: float) -> None:
-        row = [
-            (
-                stage,
-                partition_id,
-                status,
-                n_docs,
-                n_terms,
-                attempt,
-                int((time.monotonic() - t0) * 1000),
-            )
-        ]
+        self._log_many(
+            [(stage, partition_id, status, n_docs, n_terms, attempt, int(self._mark(stage, t0) * 1000))]
+        )
+
+    def _log_many(self, rows: list[tuple]) -> None:
+        """ONE append job for any number of lineage rows — per-bucket logs
+        used to be one tiny parquet write job EACH, a pure serial tail that
+        the 4-executor config paid identically to the 1-executor one."""
+        if not rows:
+            return
         (
             self.spark.createDataFrame(
-                row,
+                rows,
                 "stage string, partition_id int, status string, n_docs long, n_terms long, attempt int, duration_ms long",
             )
             .withColumn("updated_at", F.current_timestamp())
@@ -128,9 +133,19 @@ class IndexBuilder:
         done = self._completed()
         attempt = self._next_attempt()
 
+        obs = None
         if ("docs", 0) not in done:
             t0_docs = time.monotonic()
+            from pyspark.sql import Observation
+
             docs = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
+            # corpus stats ride the docs write via observe(): no second
+            # full scan job just for (n_docs, avgdl) — at 1-executor scale
+            # that scan was pure serial tail
+            obs = Observation("corpus_stats")
+            docs = docs.observe(
+                obs, F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+            )
             docs.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
         else:
             t0_docs = None
@@ -139,15 +154,22 @@ class IndexBuilder:
 
         if ("stats", 0) not in done:
             t0 = time.monotonic()
-            docs.agg(
-                F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
-            ).write.mode("overwrite").parquet(f"{self.index_dir}/stats")
+            if obs is not None:
+                got = obs.get
+                stats_df = self.spark.createDataFrame(
+                    [(int(got["n_docs"]), float(got["avgdl"]))], "n_docs long, avgdl double"
+                )
+            else:  # resume path: docs were written by a previous attempt
+                stats_df = docs.agg(
+                    F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+                )
+            stats_df.write.mode("overwrite").parquet(f"{self.index_dir}/stats")
             self._log("stats", 0, "completed", 0, 0, attempt, t0)
         self._n_docs = int(
             self.spark.read.parquet(f"{self.index_dir}/stats").collect()[0]["n_docs"]
         )
         if t0_docs is not None:
-            # doc count comes from the stats job — no separate count scan
+            # doc count comes from the docs write's observation — no count scan
             self._log("docs", 0, "completed", self._n_docs, 0, attempt, t0_docs)
 
         if self.commit_group is None:
@@ -179,7 +201,12 @@ class IndexBuilder:
         n_total = getattr(self, "_n_docs", None) or docs.count()
         target = 5_000  # enough to see every df/N >= ~1% term w.h.p.
         fraction = min(1.0, target / max(n_total, 1))
-        sample = docs.sample(fraction=fraction, seed=42) if fraction < 1.0 else docs
+        # limit() instead of sample(): sample(fraction) still SCANS the whole
+        # table (no pushdown), which at 2M docs re-read ~3 GB just to pick
+        # 5k rows; limit() stops after the first partitions. The positional
+        # bias is acceptable here — hot terms are near-ubiquitous, and a
+        # miss only changes sharding (perf), never index content.
+        sample = docs.limit(target) if fraction < 1.0 else docs
         est = (
             sample.select(F.explode(F.array_distinct(tokenize_expr("content"))).alias("term"))
             .groupBy("term")
@@ -278,43 +305,125 @@ class IndexBuilder:
             self._log_bucket_lineage(batch, attempt, t0)
             built += len(batch)
 
+    # -- delete ------------------------------------------------------------
+    def delete(self, predicate) -> int:
+        """Row-level delete (P11): remove every doc matching ``predicate``
+        (a Column, e.g. ``F.col('repo') == 'org1/project-1'``) from docs,
+        stats and postings — the Spark twin of
+        ``RedisSearchStorage::deleteDocumentsByDomain``
+        (``src/storage/RedisSearchStorage.cpp:594-648``: FT.SEARCH the
+        domain, DEL each doc hash). Returns the number of docs removed.
+
+        Mechanism: filtered rewrite. Postings are decoded, anti-joined
+        against the doomed doc set, re-encoded and swapped in whole (a
+        doc's terms span every bucket, so doc-level delete touches all of
+        them; at Iceberg scale the swap is an atomic REPLACE commit). A
+        lineage row records the delete so resume semantics stay intact.
+        """
+        import shutil
+
+        attempt = self._next_attempt()
+        t0 = time.monotonic()
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        # materialize the doomed set NOW: its lineage points at the docs
+        # dir we are about to swap out from under it
+        doomed = docs.filter(predicate).select("doc_id").localCheckpoint(eager=True)
+        n_doomed = doomed.count()
+        if n_doomed == 0:
+            return 0
+        kept_docs = docs.join(doomed, "doc_id", "left_anti")
+        tmp_docs = f"{self.index_dir}/docs_del_tmp"
+        kept_docs.write.mode("overwrite").parquet(tmp_docs)
+        shutil.rmtree(f"{self.index_dir}/docs")
+        shutil.move(tmp_docs, f"{self.index_dir}/docs")
+
+        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+        ).write.mode("overwrite").parquet(f"{self.index_dir}/stats")
+        self._n_docs = int(
+            self.spark.read.parquet(f"{self.index_dir}/stats").collect()[0]["n_docs"]
+        )
+
+        from search_engine_core_spark.operators.postings import decode_postings_df
+
+        post = self.spark.read.option("basePath", f"{self.index_dir}/postings").parquet(
+            f"{self.index_dir}/postings"
+        )
+        kept = decode_postings_df(post).join(doomed, "doc_id", "left_anti").withColumn(
+            "bucket", _bucket_expr(self.n_buckets)
+        )
+        dfreq = kept.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = build_postings(
+            kept, dfreq, self.hot_df_threshold, self.n_shards, bucket_col=True
+        )
+        tmp_post = f"{self.index_dir}/postings_del_tmp"
+        (
+            postings.sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp_post)
+        )
+        shutil.rmtree(f"{self.index_dir}/postings")
+        shutil.move(tmp_post, f"{self.index_dir}/postings")
+
+        import pathlib
+
+        if pathlib.Path(f"{self.index_dir}/dfreq").exists():
+            newpost = self.spark.read.option(
+                "basePath", f"{self.index_dir}/postings"
+            ).parquet(f"{self.index_dir}/postings")
+            nd = newpost.groupBy("term", "bucket").agg(F.sum("df").alias("df"))
+            tmp_dfreq = f"{self.index_dir}/dfreq_del_tmp"
+            nd.sortWithinPartitions("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(tmp_dfreq)
+            shutil.rmtree(f"{self.index_dir}/dfreq")
+            shutil.move(tmp_dfreq, f"{self.index_dir}/dfreq")
+
+        self._log("delete", 0, "completed", n_doomed, 0, attempt, t0)
+        return n_doomed
+
     def _log_bucket_lineage(self, buckets: list[int], attempt: int, t0: float) -> None:
         """Per-bucket lineage rows from one metadata-only scan of the just
         written postings (parquet prunes to bucket/term/df columns)."""
         import pathlib
 
+        dur_ms = int(self._mark("postings", t0) * 1000)
         paths = [
             p
             for b in buckets
             if (p := f"{self.index_dir}/postings/bucket={b}")
             and pathlib.Path(p).exists()  # empty buckets write no dir
         ]
-        if not paths:
-            for b in buckets:
-                self._log("postings", b, "completed", 0, 0, attempt, t0)
-            return
-        stats_rows = (
-            self.spark.read.option("basePath", f"{self.index_dir}/postings")
-            .parquet(*paths)
-            .groupBy("bucket")
-            .agg(
-                F.count_distinct(F.col("term")).alias("n_terms"),
-                F.sum("df").alias("n_postings"),
+        by_bucket = {}
+        if paths:
+            stats_rows = (
+                self.spark.read.option("basePath", f"{self.index_dir}/postings")
+                .parquet(*paths)
+                .groupBy("bucket")
+                .agg(
+                    F.count_distinct(F.col("term")).alias("n_terms"),
+                    F.sum("df").alias("n_postings"),
+                )
+                .collect()
             )
-            .collect()
+            by_bucket = {int(r["bucket"]): r for r in stats_rows}
+        # ONE lineage write for the whole batch of buckets
+        self._log_many(
+            [
+                (
+                    "postings",
+                    b,
+                    "completed",
+                    int(by_bucket[b]["n_postings"]) if b in by_bucket else 0,
+                    int(by_bucket[b]["n_terms"]) if b in by_bucket else 0,
+                    attempt,
+                    dur_ms,
+                )
+                for b in buckets
+            ]
         )
-        by_bucket = {int(r["bucket"]): r for r in stats_rows}
-        for b in buckets:
-            r = by_bucket.get(b)
-            self._log(
-                "postings",
-                b,
-                "completed",
-                int(r["n_postings"]) if r else 0,
-                int(r["n_terms"]) if r else 0,
-                attempt,
-                t0,
-            )
 
 
 class IndexReader:

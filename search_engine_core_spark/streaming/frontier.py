@@ -75,9 +75,12 @@ def bfs_frontier(
     Mongo per wave, Crawler.cpp:62-78).
     """
     visited = seeds.select(F.col("url"), F.lit(0).alias("depth")).distinct().localCheckpoint()
+    # track the visited tally incrementally off each wave's own count —
+    # no extra per-depth count job over the growing visited set
+    n_visited = visited.count()
     frontier = visited
     for depth in range(1, max_depth + 1):
-        if max_pages is not None and visited.count() >= max_pages:
+        if max_pages is not None and n_visited >= max_pages:
             break  # T8 stop condition
         nxt = (
             frontier.join(edges, frontier.url == edges.src)
@@ -87,8 +90,10 @@ def bfs_frontier(
             .withColumn("depth", F.lit(depth))
         )
         nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
+        n_new = nxt.count()
+        if n_new == 0:
             break
+        n_visited += n_new
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
@@ -97,3 +102,36 @@ def bfs_frontier(
 def politeness_last_hit(log: DataFrame) -> DataFrame:
     """W3 (URLFrontier.cpp:298-320): last crawl time per domain."""
     return log.groupBy("domain").agg(F.max("ts").alias("last_hit"))
+
+
+def schedule_retries(results: DataFrame, now_ms: int) -> DataFrame:
+    """T3/F22: turn fetch results (url, status, retry) into re-queued tasks
+    with ``ready_at`` = now + exponential backoff (rate-limited gets the
+    60 s base), mirroring ``URLFrontier::markFailed`` + FailureClassifier:
+    SUCCESS and PERMANENT never re-queue; TEMPORARY/RATE_LIMITED do."""
+    cls = classify_failure(F.col("status"))
+    retry = F.col("retry") + 1
+    delay = backoff_delay_ms(retry, rate_limited=cls == "RATE_LIMITED")
+    return (
+        results.withColumn("_cls", cls)
+        .filter(F.col("_cls").isin("TEMPORARY", "RATE_LIMITED"))
+        .select(
+            "url",
+            retry.alias("retry"),
+            (F.lit(now_ms) + delay).cast("long").alias("ready_at"),
+        )
+    )
+
+
+def claim_order(tasks: DataFrame, now_ms: int, batch_size: int | None = None) -> DataFrame:
+    """O5 priority frontier: the claim ordering of ``URLFrontier`` /
+    Mongo ``frontier_tasks`` (priority DESC, readyAt ASC —
+    ``src/storage/MongoDBStorage.cpp:591-593``, ``URLFrontier.cpp:65-80``),
+    restricted to tasks whose ``ready_at`` has passed; url breaks ties
+    deterministically (the reference's cursor order is storage-defined).
+
+    At scale this is one TakeOrderedAndProject over the pending set — no
+    global sort materializes when ``batch_size`` bounds the claim."""
+    ready = tasks.filter(F.col("ready_at") <= now_ms)
+    out = ready.orderBy(F.desc("priority"), F.asc("ready_at"), F.asc("url"))
+    return out.limit(batch_size) if batch_size is not None else out

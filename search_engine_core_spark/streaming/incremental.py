@@ -67,15 +67,75 @@ def start_incremental_index(
 
 
 def delta_triples(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Current delta segments as (doc_id, term, tf) — replay-safe: if a
-    batch was appended twice (at-least-once), keep one copy per
-    (doc_id, term, batch_id)."""
+    """Current delta segments as (doc_id, term, tf).
+
+    Replay-safe AND update-correct: duplicate appends of the SAME batch
+    (at-least-once replay) collapse via dropDuplicates on (doc, term,
+    batch_id); a doc re-crawled in a LATER batch is resolved by keeping
+    only its latest batch's triples — max(tf) across batches would pin a
+    stale higher tf forever and never drop removed terms."""
     try:
         raw = spark.read.parquet(f"{index_dir}/delta")
     except Exception:
         return spark.createDataFrame([], "doc_id long, term string, tf long")
-    return (
-        raw.dropDuplicates(["doc_id", "term", "batch_id"])
-        .groupBy("doc_id", "term")
-        .agg(F.max("tf").alias("tf"))
+    deduped = raw.dropDuplicates(["doc_id", "term", "batch_id"])
+    latest = deduped.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    return deduped.join(latest, ["doc_id", "batch_id"]).select("doc_id", "term", "tf")
+
+
+def compact_deltas(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int = 16,
+    hot_df_threshold: int = 100_000,
+    n_shards: int = 8,
+) -> None:
+    """Fold the delta segments back into the main compressed postings —
+    the LSM compaction step. Docs present in deltas REPLACE their main-
+    index postings (re-crawl upsert, J3); the result is byte-equivalent to
+    a fresh batch build over (main docs ∖ delta docs) ∪ delta docs.
+
+    Plan shape: decode only the affected buckets' postings is not possible
+    for doc-level replacement (a doc's terms span all buckets), so
+    compaction is a full postings rewrite — run it at the cadence where
+    delta volume amortizes it (classic LSM level-0 -> level-1 merge).
+    """
+    from search_engine_core_spark.operators.postings import (
+        build_postings,
+        decode_postings_df,
     )
+    from search_engine_core_spark.sources.index_io import _bucket_expr
+
+    delta = delta_triples(spark, index_dir)
+    if delta.isEmpty():
+        return
+    reader_post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
+        f"{index_dir}/postings"
+    )
+    main = decode_postings_df(reader_post)
+    delta_docs = delta.select("doc_id").distinct()
+    merged = (
+        main.join(delta_docs, "doc_id", "left_anti")
+        .unionByName(delta)
+        .withColumn("bucket", _bucket_expr(n_buckets))
+    )
+    dfreq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = build_postings(
+        merged, dfreq, hot_df_threshold, n_shards, bucket_col=True
+    )
+    # write-aside then swap: Spark cannot overwrite the path it reads from
+    # (at scale this is an atomic Iceberg REPLACE / metadata swap; on the
+    # local FS a directory rename plays that role)
+    import shutil
+
+    tmp = f"{index_dir}/postings_compact_tmp"
+    (
+        postings.sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(f"{index_dir}/postings")
+    shutil.move(tmp, f"{index_dir}/postings")
+    shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/delta_docs", ignore_errors=True)
