@@ -38,7 +38,14 @@ from search_engine_core_spark.sources.index_io import IndexBuilder
 n_exec = {n_exec}
 cores = n_exec * {cpe}
 n_docs = {n_docs}
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores * 2,
+# STRONG-SCALING CONTRACT: the logical job must be IDENTICAL at both
+# cluster sizes — same shuffle partition count, same shard fan-out — and
+# only the resources vary. Partition/shard counts are sized for the BIG
+# config ({shuffle_parts} partitions); the small config runs the same
+# plan with fewer cores. (Round-1 runs let each config pick
+# cores*2 partitions, which handed the 1-executor baseline a
+# cheaper plan — fewer, larger tasks — and understated efficiency.)
+spark = get_spark("scaling", cores=cores, shuffle_partitions={shuffle_parts},
                   master=f"local-cluster[{{n_exec}},{cpe},12288]")
 idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 # corpus pre-materialized ONCE by the parent — identical input files for
@@ -46,7 +53,7 @@ idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 corpus = spark.read.parquet({corpus_path!r})
 t0 = time.monotonic()
 b = IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
-                 n_shards=cores)
+                 n_shards={n_shards})
 b.build(corpus)
 build = time.monotonic() - t0
 eng = IndexSearchEngine(spark, idx + "/i", n_buckets=8)
@@ -80,10 +87,10 @@ def _materialize_corpus(n_docs: int) -> str:
     return path
 
 
-def run(n_exec: int, n_docs: int, corpus_path: str) -> dict:
+def run(n_exec: int, n_docs: int, corpus_path: str, big_cores: int) -> dict:
     code = WORKER.format(
         repo=str(REPO), n_exec=n_exec, n_docs=n_docs, cpe=CORES_PER_EXEC,
-        corpus_path=corpus_path,
+        corpus_path=corpus_path, shuffle_parts=big_cores * 2, n_shards=big_cores,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -106,23 +113,27 @@ def main() -> None:
     corpus_path = _materialize_corpus(n_docs)
     # min-of-N per config: the sandbox has noisy neighbors; best-case wall
     # time is the standard estimator under external interference
+    big_cores = e_big * CORES_PER_EXEC
     small = min(
-        (run(e_small, n_docs, corpus_path) for _ in range(runs)),
+        (run(e_small, n_docs, corpus_path, big_cores) for _ in range(runs)),
         key=lambda r: r["build_sec"],
     )
     big = min(
-        (run(e_big, n_docs, corpus_path) for _ in range(runs)),
+        (run(e_big, n_docs, corpus_path, big_cores) for _ in range(runs)),
         key=lambda r: r["build_sec"],
     )
     eff = (small["build_sec"] / big["build_sec"]) / (e_big / e_small)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    block = f"""
-## Scaling run {stamp} (n_docs={n_docs}, tokens/doc ~200, local-cluster mode)
+    def _stages(r):
+        return ", ".join(f"{k}={v:.1f}s" for k, v in r.get("stages", {}).items())
 
-| executors x cores | build sec | docs/sec | 4-query sec |
-|---|---|---|---|
-| {e_small} x {CORES_PER_EXEC} (N)  | {small['build_sec']:.1f} | {small['docs_per_sec']:.0f} | {small['query_4_sec']:.1f} |
-| {e_big} x {CORES_PER_EXEC} (4N) | {big['build_sec']:.1f} | {big['docs_per_sec']:.0f} | {big['query_4_sec']:.1f} |
+    block = f"""
+## Scaling run {stamp} (n_docs={n_docs}, tokens/doc ~200, local-cluster mode, uniform plan: {big_cores * 2} shuffle partitions + {big_cores} shards at BOTH sizes)
+
+| executors x cores | build sec | docs/sec | 4-query sec | per-stage |
+|---|---|---|---|---|
+| {e_small} x {CORES_PER_EXEC} (N)  | {small['build_sec']:.1f} | {small['docs_per_sec']:.0f} | {small['query_4_sec']:.1f} | {_stages(small)} |
+| {e_big} x {CORES_PER_EXEC} (4N) | {big['build_sec']:.1f} | {big['docs_per_sec']:.0f} | {big['query_4_sec']:.1f} | {_stages(big)} |
 
 Throughput scaling efficiency (build): **{eff:.2f}** =
 (T_{e_small}exec / T_{e_big}exec) / ({e_big}/{e_small}).

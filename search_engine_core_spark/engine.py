@@ -38,20 +38,28 @@ class SearchEngine:
         ``src/search_core/Scorer.cpp:27-38``)."""
         return self.planner.topk(query, k, algorithm)
 
-    def search_with_meta(self, query: str, k: int = 10) -> DataFrame:
+    def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
         """Top-k joined back to document metadata + 200-char snippet (O6,
-        ``src/storage/RedisSearchStorage.cpp:286-289``)."""
+        ``src/storage/RedisSearchStorage.cpp:286-289``). ``highlight=True``
+        wraps the query's canonical tokens in ``<b>`` tags in the snippet
+        (``SearchQuery.highlight`` -> ``HIGHLIGHT FIELDS``,
+        ``RedisSearchStorage.cpp:254-261``) — applied to the k result rows
+        only, never the corpus."""
         hits = self.search(query, k)
         cols = [c for c in ("repo", "path", "lang", "content") if c in self.docs.columns]
         out = hits.join(self.docs.select("doc_id", *cols), "doc_id", "left")
         if "content" in cols:
-            out = out.withColumn(
-                "snippet",
-                F.when(
-                    F.length("content") > 200,
-                    F.concat(F.substring("content", 1, 200), F.lit("...")),
-                ).otherwise(F.col("content")),
-            ).drop("content")
+            snippet = F.when(
+                F.length("content") > 200,
+                F.concat(F.substring("content", 1, 200), F.lit("...")),
+            ).otherwise(F.col("content"))
+            if highlight:
+                from search_engine_core_spark.functions.highlight import highlight_expr
+                from search_engine_core_spark.plans.planner import scoring_terms
+
+                terms = scoring_terms(self.planner.parser.parse(query))
+                snippet = highlight_expr(snippet, terms)
+            out = out.withColumn("snippet", snippet).drop("content")
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def unpersist(self) -> None:

@@ -411,6 +411,146 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q36_fielded_bm25"] = q36
 
+    def q37(spark, sf_dir):  # HIGHLIGHT FIELDS: <b>-wrap matched terms in snippet
+        from search_engine_core_spark.functions.highlight import highlight_expr
+
+        eng = _engine(spark, sf_dir)
+        hits = _ranked(
+            eng.planner.scored_ast(eng.planner.parser.parse("spark merge"), "bm25"), 10
+        )
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        snippet = F.when(
+            F.length("text") > 200, F.concat(F.substring("text", 1, 200), F.lit("..."))
+        ).otherwise(F.col("text"))
+        return (
+            hits.join(d, "doc_id")
+            .select(
+                "doc_id",
+                "score",
+                highlight_expr(snippet, ["spark", "merge"]).alias("snippet"),
+            )
+        )
+
+    q["q37_highlight"] = q37
+
+    # Deterministic HTML synthesized from documents text — the extraction
+    # functions run against ground truth the oracle recomputes directly.
+    _HTML_URL = "https://ex.com/a/b.html"
+
+    def _html_col(d):
+        t = F.substring("text", 1, 30)
+        desc = F.substring("text", 31, 40)
+        body = F.substring("text", 71, 200)
+        return F.concat(
+            F.lit("<html><head><title>"), t,
+            F.lit('</title><meta name="description" content="'), desc,
+            F.lit('"></head><body><p>'), body,
+            F.lit('</p><script>var ignore = 1;</script><a href="/d/'),
+            F.col("doc_id"), F.lit('">next</a></body></html>'),
+        )
+
+    def q38(spark, sf_dir):  # S2-S6 HTML field extraction E2E
+        from search_engine_core_spark.functions import html as H
+
+        d = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", _html_col(None).alias("html"), F.lit(_HTML_URL).alias("url"))
+        )
+        out = H.parse_document(d)
+        return out.select(
+            "doc_id",
+            "title",
+            F.col("meta_description"),
+            F.col("text_content"),
+            F.array_join("links", "|").alias("links"),
+        )
+
+    q["q38_html_extract"] = q38
+
+    def q39(spark, sf_dir):  # P8 robots.txt predicate E2E
+        from search_engine_core_spark.streaming.robots import is_allowed, parse_robots
+
+        raw = spark.createDataFrame(
+            [
+                ("d0.com", "User-agent: *\nDisallow: /private*\nAllow: /private/ok\n"),
+                ("d1.com", "User-agent: *\nDisallow: /\n"),
+            ],
+            "domain string, content string",
+        )
+        rules = parse_robots(raw)
+        path = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/x"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok"), F.col("doc_id")))
+            .otherwise(F.lit("/private"))
+        )
+        urls = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 60)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://d"), F.col("doc_id") % 3, F.lit(".com"), path
+                ).alias("url"),
+            )
+        )
+        return is_allowed(urls, rules).select("doc_id", "url", "allowed")
+
+    q["q39_robots_allowed"] = q39
+
+    # T4/T5 domain health: fetch log derived from events. The log clock is
+    # synthetic (ts = event_id * 1000): unique and deterministic on both
+    # engines, so window ordering and the threshold-crossing failure are
+    # never tie-ambiguous. Wide reset/rate windows relative to now=1e13
+    # make OPEN/rate_limited purely functions of the log content.
+    def q40(spark, sf_dir):
+        from search_engine_core_spark.streaming.frontier import domain_states
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        log = ev.select(
+            F.concat(F.lit("host"), F.col("user_id") % 7, F.lit(".com")).alias("domain"),
+            (F.col("event_id") * 1000).alias("ts"),
+            F.when(F.col("event_type") == "error", 500)
+            .when(F.col("event_type") == "purchase", 429)
+            .otherwise(200)
+            .alias("status"),
+        )
+        st = domain_states(
+            log,
+            now_ms=10**13,
+            politeness_ms=500,
+            failure_threshold=5,
+            reset_ms=10**13,
+            rate_limit_ms=10**13,
+        )
+        return st.select(
+            "domain",
+            "total_requests",
+            "successful_requests",
+            "consecutive_failures",
+            "circuit_state",
+            "rate_limited",
+            "dynamic_delay_ms",
+        )
+
+    q["q40_domain_health"] = q40
+
+    def q41(spark, sf_dir):  # O5 priority claim order with oracle
+        from search_engine_core_spark.streaming.frontier import claim_order
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        tasks = orders.select(
+            F.concat(
+                F.lit("https://h"), F.col("o_custkey") % 50, F.lit(".com/o/"), F.col("o_orderkey")
+            ).alias("url"),
+            (F.col("o_orderkey") % 10).cast("int").alias("priority"),
+            F.col("o_totalprice").cast("long").alias("ready_at"),
+        )
+        return claim_order(tasks, now_ms=300_000, batch_size=20)
+
+    q["q41_claim_order"] = q41
+
     return q
 
 
@@ -797,5 +937,110 @@ SELECT url,
              ELSE total END, 7), 4) AS score,
        matched::BIGINT AS matched_terms
 FROM scored
+"""
+    # q37 highlight: wrap the BM25 hit snippets' matched terms in <b> tags.
+    # Alternation order matches highlight_pattern: (-len, lexicographic).
+    _hits37 = _bm25_sql(
+        ["spark", "merge"], _CAND_ALL.format(t="'spark','merge'", n=2)
+    )
+    o["q37_highlight"] = f"""
+WITH hits AS ({_hits37})
+SELECT h.doc_id, h.score,
+       regexp_replace(
+         CASE WHEN length(d.text) > 200 THEN substr(d.text, 1, 200) || '...' ELSE d.text END,
+         '(?i)\\b(merge|spark)\\b', '<b>\\1</b>', 'g') AS snippet
+FROM hits h JOIN documents d USING (doc_id)
+ORDER BY h.score DESC, h.doc_id
+"""
+    # q38: the HTML is synthesized from text substrings, so the oracle
+    # recomputes every extracted field from the SOURCE substrings — ground
+    # truth, not a second regex implementation.
+    o["q38_html_extract"] = """
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 30) AS t,
+         substr(text, 31, 40) AS d,
+         substr(text, 71, 200) AS b
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       nullif(t, '') AS title,
+       nullif(d, '') AS meta_description,
+       trim(regexp_replace(t || ' ' || b || ' next', '\\s+', ' ', 'g')) AS text_content,
+       'https://ex.com/d/' || doc_id AS links
+FROM src
+"""
+    o["q39_robots_allowed"] = """
+WITH u AS (
+  SELECT doc_id,
+         'd' || (doc_id % 3) || '.com' AS domain,
+         CASE WHEN doc_id % 4 = 0 THEN '/pub/' || doc_id
+              WHEN doc_id % 4 = 1 THEN '/private/x' || doc_id
+              WHEN doc_id % 4 = 2 THEN '/private/ok' || doc_id
+              ELSE '/private' END AS path
+  FROM documents WHERE doc_id < 60)
+SELECT doc_id, 'https://' || domain || path AS url,
+       CASE WHEN domain = 'd0.com'
+              THEN (path LIKE '/private/ok%' OR path NOT LIKE '/private%')
+            WHEN domain = 'd1.com' THEN FALSE
+            ELSE TRUE END AS allowed
+FROM u
+"""
+    # q40: DomainManager state machine over the synthetic fetch log.
+    # now=1e13, reset/rate windows 1e13 -> OPEN iff >=5 consecutive
+    # failures; rate_limited iff any 429. floor() matches Spark's long cast
+    # (all values positive); 1.5^n stays exact in binary (3^n / 2^n).
+    o["q40_domain_health"] = """
+WITH log AS (
+  SELECT 'host' || (user_id % 7) || '.com' AS domain,
+         event_id * 1000 AS ts,
+         CASE WHEN event_type = 'error' THEN 500
+              WHEN event_type = 'purchase' THEN 429
+              ELSE 200 END AS status
+  FROM events),
+en AS (
+  SELECT domain, ts, status,
+         (status >= 200 AND status < 300) AS ok,
+         max(CASE WHEN status >= 200 AND status < 300 THEN ts END)
+           OVER (PARTITION BY domain) AS last_success
+  FROM log),
+fails AS (
+  SELECT domain, ts, status
+  FROM en WHERE NOT ok AND (last_success IS NULL OR ts > last_success)),
+fagg AS (
+  SELECT domain, count(*) AS consec FROM fails GROUP BY domain),
+lastfail AS (
+  SELECT domain, arg_max(status, ts) AS last_fail_status
+  FROM en WHERE NOT ok GROUP BY domain),
+agg AS (
+  SELECT domain,
+         count(*) AS total_requests,
+         sum(CASE WHEN ok THEN 1 ELSE 0 END) AS successful_requests,
+         max(CASE WHEN status = 429 THEN ts END) AS last_429
+  FROM en GROUP BY domain)
+SELECT a.domain,
+       a.total_requests,
+       a.successful_requests,
+       coalesce(f.consec, 0) AS consecutive_failures,
+       CASE WHEN coalesce(f.consec, 0) >= 5 THEN 'OPEN' ELSE 'CLOSED' END AS circuit_state,
+       (a.last_429 IS NOT NULL) AS rate_limited,
+       CASE WHEN coalesce(f.consec, 0) > 0
+            THEN floor(least(
+                   500.0 * power(1.5, least(f.consec, 10))
+                        * (CASE WHEN l.last_fail_status = 429 THEN 2.0
+                                WHEN l.last_fail_status NOT IN (400,401,403,404,405,406,410,414,451)
+                                  THEN 1.5 ELSE 1.0 END),
+                   300000.0))::BIGINT
+            ELSE 500 END AS dynamic_delay_ms
+FROM agg a LEFT JOIN fagg f USING (domain) LEFT JOIN lastfail l USING (domain)
+"""
+    o["q41_claim_order"] = """
+SELECT url, priority, ready_at FROM (
+  SELECT 'https://h' || (o_custkey % 50) || '.com/o/' || o_orderkey AS url,
+         (o_orderkey % 10)::INTEGER AS priority,
+         floor(o_totalprice)::BIGINT AS ready_at
+  FROM orders)
+WHERE ready_at <= 300000
+ORDER BY priority DESC, ready_at ASC, url ASC
+LIMIT 20
 """
     return o

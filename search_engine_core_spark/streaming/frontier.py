@@ -14,7 +14,7 @@ Also: failure classification + exponential backoff (T3/F22,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # FailureClassifier.cpp permanent/temporary code sets (CrawlConfig.h:37-48)
@@ -121,6 +121,138 @@ def schedule_retries(results: DataFrame, now_ms: int) -> DataFrame:
             (F.lit(now_ms) + delay).cast("long").alias("ready_at"),
         )
     )
+
+
+def restrict_to_seed_domain(urls: DataFrame, seed_domain: str, url_col: str = "url") -> DataFrame:
+    """P7 — keep only URLs on the crawl's seed domain
+    (``config.restrictToSeedDomain``: the first seed pins ``seedDomain``
+    and every discovered link is checked against it,
+    ``src/crawler/Crawler.cpp:138-141`` + the frontier-side keep filter).
+    A pushed-down string equality — Catalyst evaluates it at the scan."""
+    from search_engine_core_spark.streaming.robots import domain_of
+
+    return urls.filter(F.lower(domain_of(url_col)) == seed_domain.lower())
+
+
+def domain_states(
+    log: DataFrame,
+    now_ms: int,
+    politeness_ms: int = 500,
+    failure_threshold: int = 5,
+    reset_ms: int = 300_000,
+    rate_limit_ms: int = 60_000,
+) -> DataFrame:
+    """T4/T5 — per-domain health from a fetch log (domain, ts, status):
+    circuit-breaker state, rate-limit window, dynamic politeness delay —
+    the dataflow twin of ``DomainManager`` (``src/crawler/DomainManager.cpp``),
+    whose mutable per-domain struct becomes one windowed aggregation.
+
+    Replicated semantics (defaults = ``CrawlConfig.h:11,50-52``):
+    * consecutive failures = failures since the last success; success
+      resets the count (``recordSuccess``/``recordFailure``,
+      DomainManager.cpp:88-145);
+    * circuit OPEN when consecutive >= threshold and the reset window has
+      not elapsed since the failure that crossed it; HALF_OPEN after the
+      window (one probe allowed) (``updateCircuitBreakerState``,
+      DomainManager.cpp:213-238);
+    * rate limited until last-429 + rate_limit_ms (``recordRateLimit``,
+      DomainManager.cpp:147-173 — expiry is purely time-based, a later
+      success does NOT clear it, quirk preserved);
+    * dynamic delay = politeness * 1.5^min(consecutive,10), doubled again
+      when the latest failure was a 429, x1.5 when temporary, capped at
+      5 min (``calculateDynamicDelay``, DomainManager.cpp:240-260); a
+      healthy domain (no failures since success) sits at the base delay —
+      the reference's 0.8x decay-per-success converges there, batch
+      dataflow jumps straight to the fixpoint.
+
+    One shuffle keyed by domain; output is one row per domain, tiny and
+    broadcastable into :func:`claim_order_polite`.
+    """
+    w = Window.partitionBy("domain")
+    ok = (F.col("status") >= 200) & (F.col("status") < 300)
+    fail_ts = F.when(~ok, F.col("ts"))
+    last_success = F.max(F.when(ok, F.col("ts"))).over(w)
+    after_success = F.col("_fail_ts").isNotNull() & (
+        F.col("_last_success").isNull() | (F.col("_fail_ts") > F.col("_last_success"))
+    )
+    enriched = (
+        log.withColumn("_fail_ts", fail_ts)
+        .withColumn("_last_success", last_success)
+        .withColumn("_consec_fail", F.when(after_success, F.col("_fail_ts")))
+    )
+    wf = Window.partitionBy("domain").orderBy("_consec_fail")
+    # rank the post-success failures by time: the threshold-th one is the
+    # moment the circuit opened
+    enriched = enriched.withColumn(
+        "_fail_rank", F.when(F.col("_consec_fail").isNotNull(), F.row_number().over(wf))
+    )
+    agg = enriched.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("total_requests"),
+        F.sum(ok.cast("long")).alias("successful_requests"),
+        F.sum(F.col("_consec_fail").isNotNull().cast("long")).alias("consecutive_failures"),
+        F.max(F.when(F.col("_fail_rank") == failure_threshold, F.col("_consec_fail"))).alias(
+            "circuit_opened_at"
+        ),
+        F.max("ts").alias("last_request"),
+        F.max(F.when(F.col("status") == RATE_LIMITED_HTTP, F.col("ts"))).alias("last_429"),
+        F.max_by(F.col("status"), F.when(~ok, F.col("ts"))).alias("_last_fail_status"),
+    )
+    open_ = F.col("circuit_opened_at").isNotNull() & (
+        F.lit(now_ms) < F.col("circuit_opened_at") + reset_ms
+    )
+    half_open = F.col("circuit_opened_at").isNotNull() & ~open_
+    last_cls = classify_failure(F.col("_last_fail_status"))
+    mult = F.pow(F.lit(1.5), F.least(F.col("consecutive_failures"), F.lit(10))) * (
+        F.when(last_cls == "RATE_LIMITED", 2.0)
+        .when(last_cls == "TEMPORARY", 1.5)
+        .otherwise(1.0)
+    )
+    delay = F.when(
+        F.col("consecutive_failures") > 0,
+        F.least(F.lit(float(politeness_ms)) * mult, F.lit(300_000.0)),
+    ).otherwise(F.lit(float(politeness_ms)))
+    return agg.select(
+        "domain",
+        "total_requests",
+        "successful_requests",
+        "consecutive_failures",
+        F.when(open_, "OPEN").when(half_open, "HALF_OPEN").otherwise("CLOSED").alias(
+            "circuit_state"
+        ),
+        "circuit_opened_at",
+        "last_request",
+        (F.col("last_429").isNotNull() & (F.lit(now_ms) < F.col("last_429") + rate_limit_ms)).alias(
+            "rate_limited"
+        ),
+        delay.cast("long").alias("dynamic_delay_ms"),
+    )
+
+
+def claim_order_polite(
+    tasks: DataFrame,
+    states: DataFrame,
+    now_ms: int,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """O5 + T4/T5 combined: the priority claim order, minus tasks whose
+    domain must wait — circuit OPEN, rate-limited, or inside its dynamic
+    crawl delay (``DomainManager::shouldDelay``, DomainManager.cpp:12-47;
+    the reference's frontier skips those URLs this cycle). ``states`` is
+    :func:`domain_states` output — broadcast, no shuffle on the task side."""
+    from search_engine_core_spark.streaming.robots import domain_of
+
+    blocked = (
+        (F.col("circuit_state") == "OPEN")
+        | F.col("rate_limited")
+        | (F.lit(now_ms) < F.col("last_request") + F.col("dynamic_delay_ms"))
+    )
+    t = tasks.withColumn("_dom", domain_of("url")).join(
+        F.broadcast(states.withColumn("_blocked", blocked).select(F.col("domain").alias("_dom"), "_blocked")),
+        "_dom",
+        "left",
+    )
+    ready = t.filter(~F.coalesce(F.col("_blocked"), F.lit(False))).drop("_dom", "_blocked")
+    return claim_order(ready, now_ms, batch_size)
 
 
 def claim_order(tasks: DataFrame, now_ms: int, batch_size: int | None = None) -> DataFrame:
