@@ -53,7 +53,7 @@ idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 corpus = spark.read.parquet({corpus_path!r})
 t0 = time.monotonic()
 b = IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
-                 n_shards={n_shards})
+                 n_shards={n_shards}, encode_partitions={n_shards} * 4)
 b.build(corpus)
 build = time.monotonic() - t0
 eng = IndexSearchEngine(spark, idx + "/i", n_buckets=8)

@@ -301,6 +301,7 @@ def build_postings(
     n_shards: int = 8,
     bucket_col: bool = False,
     hot_is_term_set: bool = False,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """triples + df-stats -> compressed postings rows.
 
@@ -348,7 +349,10 @@ def build_postings(
     # Tungsten spills to disk with multi-pass merges (measured: the sort
     # of raw occurrences was THE build bottleneck when partitions were
     # sized 1:1 with cores). AQE won't coalesce an explicit repartition.
-    n_part = max(
+    # ``n_partitions`` pins the exchange width explicitly (strong-scaling
+    # runs need the IDENTICAL plan at every cluster size); default derives
+    # from the session.
+    n_part = n_partitions or max(
         4 * sess.sparkContext.defaultParallelism,
         int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
     )

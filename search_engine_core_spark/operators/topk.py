@@ -106,8 +106,12 @@ class WandTopK:
             *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
         )
         doclen = self.reader.docs.select("doc_id", "doclen")
+        # trip is bounded (seed_cap x query terms); broadcasting it turns
+        # the doclen lookup into a map-side hash join against the big docs
+        # table — no shuffle of either side, which at 100 TB is the
+        # difference between a per-query exchange and a column-pruned scan
         per = (
-            trip.join(doclen, "doc_id", "inner")
+            doclen.join(F.broadcast(trip), "doc_id", "inner")
             .withColumn("df", df_map[F.col("term")])
             .withColumn(
                 "idf", F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))

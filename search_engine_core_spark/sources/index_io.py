@@ -61,6 +61,8 @@ class IndexBuilder:
     hot_df_threshold: int = 100_000
     n_shards: int = 8
     commit_group: int | None = None  # buckets per write job (None = all)
+    encode_partitions: int | None = None  # pin the encode exchange width
+    store_content: bool = True  # False = slim docs table (no content copy)
     stage_secs: dict = field(default_factory=dict)  # per-stage wall seconds
 
     # -- checkpoint ------------------------------------------------------
@@ -134,11 +136,12 @@ class IndexBuilder:
         attempt = self._next_attempt()
 
         obs = None
+        full_docs = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
         if ("docs", 0) not in done:
             t0_docs = time.monotonic()
             from pyspark.sql import Observation
 
-            docs = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
+            docs = full_docs
             # corpus stats ride the docs write via observe(): no second
             # full scan job just for (n_docs, avgdl) — at 1-executor scale
             # that scan was pure serial tail
@@ -146,11 +149,23 @@ class IndexBuilder:
             docs = docs.observe(
                 obs, F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
             )
+            if not self.store_content:
+                # Slim mode — the 100 TB shape: the source table (Iceberg)
+                # already holds content; copying it into the index doubles
+                # storage and makes the docs stage a pure memcpy job. The
+                # slim table keeps metadata + doclen + content_sha256;
+                # readers re-attach content by deriving doc_id from the
+                # source (deterministic) via IndexReader.attach_content.
+                docs = docs.drop("content")
             docs.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
         else:
             t0_docs = None
 
         docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        if not self.store_content:
+            # tokenize from the in-memory source projection, not the slim
+            # parquet (which has no content column)
+            docs = full_docs
 
         if ("stats", 0) not in done:
             t0 = time.monotonic()
@@ -239,6 +254,7 @@ class IndexBuilder:
             self.n_shards,
             bucket_col=True,
             hot_is_term_set=True,
+            n_partitions=self.encode_partitions,
         )
         (
             postings.sortWithinPartitions("bucket")
@@ -441,6 +457,21 @@ class IndexReader:
             f"{index_dir}/postings"
         )
         self.dfreq = spark.read.parquet(f"{index_dir}/dfreq").select("term", "df")
+
+    def attach_content(self, corpus: DataFrame) -> None:
+        """Slim-index complement (store_content=False builds): re-attach
+        the content column by joining the source table on the
+        deterministically derived doc_id. Content-dependent query paths
+        (snippets, exact-phrase verify) then work unchanged; the join is
+        a doc_id equijoin the optimizer can co-partition with the index."""
+        from search_engine_core_spark.corpus import with_doc_columns
+
+        if "content" in self.docs.columns:
+            return
+        src = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
+        self.docs = self.docs.join(
+            src.select("doc_id", "content"), "doc_id", "left"
+        )
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Partition-pruned postings scan: bucket isin + term isin both push

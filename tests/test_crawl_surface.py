@@ -280,6 +280,30 @@ class TestDomainHealth:
         # case-insensitive (hosts are case-insensitive; normalize_url lowercases anyway)
 
 
+class TestCompat:
+    def test_escape_redis_string(self, spark):
+        from search_engine_core_spark.functions.compat import (
+            escape_redis_string,
+            escape_redis_string_py,
+        )
+
+        s = 'say "hi"\nnew\rline'
+        df = spark.createDataFrame([(s,)], "s string")
+        got = df.select(escape_redis_string("s").alias("e")).first()["e"]
+        assert got == "say 'hi' new line" == escape_redis_string_py(s)
+
+    def test_count_term_occurrences(self, spark):
+        from search_engine_core_spark.functions.compat import (
+            count_term_occurrences,
+            count_term_occurrences_py,
+        )
+
+        s = "Spark sparkle spark; spark-sql SPARK"
+        df = spark.createDataFrame([(s,)], "s string")
+        got = df.select(count_term_occurrences("s", "Spark").alias("n")).first()["n"]
+        assert got == 4 == count_term_occurrences_py(s, "spark")
+
+
 class TestJsonScorer:
     def test_load_reload_fallback(self, tmp_path):
         from search_engine_core_spark.plans.scorer_config import JsonScorer
