@@ -79,8 +79,13 @@ def _materialize_corpus(n_docs: int) -> str:
         "from search_engine_core_spark.corpus import synthesize_corpus\n"
         "from search_engine_core_spark.session import get_spark\n"
         "spark = get_spark('gen', cores=32)\n"
+        # 256 files / 8 MB row groups: a splittable layout (an Iceberg
+        # table at scale looks like this); coarse 32x53MB files collapsed
+        # the tokenize stage to 14 input splits for 16 cores
         f"synthesize_corpus(spark, n_docs={n_docs}, tokens_per_doc=200)"
-        f".write.mode('overwrite').parquet({path!r})\n"
+        ".repartition(256)"
+        ".write.mode('overwrite').option('parquet.block.size', 8388608)"
+        f".parquet({path!r})\n"
         "spark.stop()\n"
     )
     subprocess.run([sys.executable, "-c", code], check=True, capture_output=True, timeout=3600)

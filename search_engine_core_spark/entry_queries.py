@@ -551,6 +551,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q41_claim_order"] = q41
 
+    def q42(spark, sf_dir):  # random-hyperplane sign-LSH ANN, full 1-bit probe ring
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # n_probe = n_bits + 1 -> base bucket plus EVERY single-bit flip:
+        # the probe set is structural (no margin ordering), so the oracle
+        # needs no cross-engine float sort to agree on it
+        return similarity.ann_hyperplane_topk(
+            emb.filter(F.col("vec_id") != 0),
+            _qvec(spark, sf_dir),
+            10,
+            n_bits=8,
+            n_probe=9,
+            seed=42,
+        )
+
+    q["q42_ann_hyperplane_topk"] = q42
+
+    def q43(spark, sf_dir):  # IVF-flat ANN with oracle-portable fixed centroids
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.ivf_topk(
+            emb.filter(F.col("vec_id") != 0),
+            _qvec(spark, sf_dir),
+            10,
+            n_probe=2,
+            centroid_ids=list(range(1, 17)),
+        )
+
+    q["q43_ivf_topk"] = q43
+
     return q
 
 
@@ -1042,5 +1070,65 @@ SELECT url, priority, ready_at FROM (
 WHERE ready_at <= 300000
 ORDER BY priority DESC, ready_at ASC, url ASC
 LIMIT 20
+"""
+    # q42: the SAME seeded hyperplanes as the Spark side, inlined as SQL
+    # literals; probes = base bucket + every single-bit flip (structural).
+    from search_engine_core_spark.operators.similarity import random_hyperplanes
+
+    _planes42 = random_hyperplanes(64, 8, 42)
+    _pl_rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for j, p in enumerate(_planes42)
+    )
+    o["q42_ann_hyperplane_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
+q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+planes AS (SELECT * FROM (VALUES
+    {_pl_rows}) p(j, pl)),
+base AS (
+  SELECT sum(CASE WHEN list_dot_product(q.qv, p.pl) > 0 THEN (1 << p.j) ELSE 0 END)::BIGINT AS b
+  FROM planes p CROSS JOIN q),
+probes AS (SELECT b AS pb FROM base
+           UNION ALL SELECT xor(b, (1 << j))::BIGINT FROM base CROSS JOIN planes),
+vb AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.ev, p.pl) > 0 THEN (1 << p.j) ELSE 0 END)::BIGINT AS bucket
+  FROM e CROSS JOIN planes p WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.ev, q.qv)
+         / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM e JOIN vb ON e.vec_id = vb.vec_id CROSS JOIN q
+  WHERE vb.bucket IN (SELECT pb FROM probes))
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # q43: IVF with fixed centroids (vec_id 1..16): assign each vector to
+    # its max-cosine centroid (rounded 7 dp, smallest index tiebreak),
+    # probe the 2 centroids nearest the query, exact cosine within them.
+    o["q43_ivf_topk"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings
+           WHERE vec_id <> 0),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, ev AS cv
+          FROM e WHERE vec_id BETWEEN 1 AND 16),
+qprobe AS (
+  SELECT ci FROM cents CROSS JOIN q
+  ORDER BY round(list_dot_product(cv, qv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 7) DESC, ci ASC
+  LIMIT 2),
+assign AS (
+  SELECT vec_id, ci, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY round(list_dot_product(ev, cv)
+              / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 7) DESC,
+               ci ASC) AS rn
+  FROM e CROSS JOIN cents),
+sel AS (SELECT a.vec_id FROM assign a WHERE a.rn = 1 AND a.ci IN (SELECT ci FROM qprobe))
+SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
+  SELECT e.vec_id,
+         list_dot_product(e.ev, q.qv)
+         / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM e JOIN sel USING (vec_id) CROSS JOIN q)
+ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
     return o

@@ -79,6 +79,13 @@ def doc_tf_arrow(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    try:
+        # one Spark task slot = one core: keep Arrow's internal pool from
+        # silently borrowing the other executors' cores (it defaults to
+        # every core on the machine, which corrupts strong-scaling runs)
+        pa.set_cpu_count(1)
+    except Exception:
+        pass
     for batch in batches:
         toks = pc.split_pattern_regex(
             pc.utf8_lower(batch.column("content")), TOKEN_SPLIT_RE

@@ -237,6 +237,10 @@ def _encode_partition(batches, with_bucket: bool):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    try:
+        pa.set_cpu_count(1)  # one task slot = one core (strong-scaling honesty)
+    except Exception:
+        pass
     carry = None  # pyarrow.Table of the last (possibly incomplete) group
     for batch in batches:
         if batch.num_rows == 0:

@@ -73,6 +73,154 @@ def signbit_bucket(vec: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def random_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42):
+    """Deterministic Gaussian hyperplanes for sign-LSH (seeded — the same
+    plan on every driver). Returned as a plain list-of-lists so they can be
+    folded into Catalyst literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_bits, dim))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return h.tolist()
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id: bit j set iff dot(vec, plane_j) > 0. Pure column algebra
+    (n_bits dot products, each a zip_with/aggregate fold) — portable and
+    whole-stage-codegen'd; random hyperplanes give each bit an unbiased
+    1/2 split regardless of the embedding distribution, fixing the
+    weak-recall fixed-axis projection (axes correlate with feature scale)."""
+    out = None
+    for j, p in enumerate(planes):
+        pj = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, pj) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def multiprobe_buckets(
+    query_vec: list[float], planes: list[list[float]], n_probe: int = 4
+) -> list[int]:
+    """The query's bucket plus the ``n_probe``-1 single-bit flips with the
+    SMALLEST margin |dot(q, plane)| — the classic multi-probe LSH order
+    (Lv et al., VLDB'07): a near-zero margin means the true neighbors
+    plausibly sit on the other side of that hyperplane. Driver-side numpy
+    on one vector; the result parameterizes a partition-prunable isin."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    h = np.asarray(planes, dtype=np.float64)
+    dots = h @ q
+    base = int(sum((1 << j) for j, d in enumerate(dots) if d > 0))
+    # stable sort, ties by plane index — deterministic and replicable by
+    # the SQL oracle's ORDER BY abs(d), j
+    order = np.argsort(np.abs(dots), kind="stable")
+    probes = [base]
+    for j in order[: max(0, n_probe - 1)]:
+        probes.append(base ^ (1 << int(j)))
+    return probes
+
+
+def ann_hyperplane_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production ANN path: random-hyperplane sign-LSH with multi-probe.
+    At 100 TB the table is bucketed/partitioned by ``hyperplane_bucket``
+    at write time, so the probe-set isin prunes to n_probe partitions;
+    exact cosine re-ranks only the candidates. Recall rises with n_probe
+    at linear candidate cost (n_probe/2^n_bits of the corpus)."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_bits, seed)
+    probes = multiprobe_buckets(query_vec, planes, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(F.round(cosine(F.col(vec_col), q), 7), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: partition vectors by nearest centroid, search the
+    ``n_probe`` centroids nearest the query (cosine desc, centroid index
+    tiebreak), exact cosine within them. Centroids are a deterministic
+    seeded sample of the corpus — or the rows named by ``centroid_ids``
+    (the oracle-portable form) — one tiny collect; k-means refinement
+    drops in without changing the plan shape. The assignment column is
+    the write-time partition key at scale."""
+    import numpy as np
+
+    if centroid_ids is not None:
+        rows = (
+            embeddings.filter(F.col(id_col).isin(list(centroid_ids)))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        by_id = {r[id_col]: list(r[vec_col]) for r in rows}
+        cents = [by_id[i] for i in centroid_ids if i in by_id]
+    else:
+        cents = [
+            list(r[vec_col])
+            for r in embeddings.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col) + seed))
+            .limit(n_centroids)
+            .collect()
+        ]
+    cn = np.asarray(cents, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    # rank probes by query-centroid cosine ROUNDED to 7 dp (stable sort,
+    # centroid-index tiebreak) — the oracle's ORDER BY round(cos,7) DESC, j
+    qcos = (cn @ q) / (np.linalg.norm(cn, axis=1) * max(np.linalg.norm(q), 1e-12))
+    probe_ids = np.argsort(-np.round(qcos, 7), kind="stable")[:n_probe].tolist()
+
+    # assignment: argmax over centroid cosines via an array column (a
+    # when-chain would duplicate subtrees exponentially); first-position
+    # tiebreak is deterministic
+    v = F.col(vec_col)
+    # assignment cosines rounded to 7 dp: ULP noise can't flip the argmax
+    # between engines; first-position tiebreak = smallest centroid index
+    sims = F.array(
+        *[F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 7) for c in cents]
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.withColumn("_sims", sims)
+        .withColumn(
+            "_cell", (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1).cast("int")
+        )
+        .filter(F.col("_cell").isin(probe_ids))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(F.round(cosine(v, qarr), 7), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

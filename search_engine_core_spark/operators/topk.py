@@ -146,22 +146,24 @@ class WandTopK:
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
-        postings = self.reader.postings_for_terms(terms).cache()
-        # per-term aggregates (shards collapse: df sums, max_tf maxes)
-        stat_rows = (
-            postings.groupBy("term")
-            .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
-            .collect()
-        )
-        term_stats = {r["term"]: (int(r["df"]), int(r["max_tf"])) for r in stat_rows}
+        # NO cache: every pass re-reads the bucket-pruned parquet with
+        # column pruning — caching would materialize the hot terms' binary
+        # block payloads (exactly the bytes WAND exists to never touch).
+        postings = self.reader.postings_for_terms(terms)
+        # per-term aggregates from the metadata columns alone: one row per
+        # (term, shard) — a handful of rows — so the shard collapse happens
+        # driver-side with no groupBy job and no binary-column read.
+        meta_rows = postings.select("term", "df", "max_tf").collect()
+        term_stats: dict[str, tuple[int, int]] = {}
+        for r in meta_rows:
+            d0, m0 = term_stats.get(r["term"], (0, 0))
+            term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
         present = [t for t in terms if t in term_stats]
         if not present:
-            postings.unpersist()
             return empty
         n = self.stats.n_docs
 
         if mode == "AND" and len(present) < len(terms):
-            postings.unpersist()
             return empty
 
         from search_engine_core_spark.operators.postings import (
@@ -177,7 +179,6 @@ class WandTopK:
             # degenerate query: every term is hot — fall back to the
             # distributed full decode (no driver-side id set).
             rows = self._topk_full_decode(postings, term_stats, present, k, mode)
-            postings.unpersist()
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
         # pass 1: decode ONLY the rarest term fully; its doc set seeds both
@@ -186,7 +187,6 @@ class WandTopK:
         # the driver anyway to parameterize the block-targeted decode.
         rare_rows = decode_postings_df(rare_post).collect()
         if not rare_rows:
-            postings.unpersist()
             return empty
         rare_ids = np.sort(np.array([r["doc_id"] for r in rare_rows], dtype=np.int64))
         rare_trip = spark.createDataFrame(rare_rows, "doc_id long, term string, tf long")
@@ -207,7 +207,6 @@ class WandTopK:
                 .limit(k)
                 .collect()
             )
-            postings.unpersist()
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
         seed_scores = self._score_exact(seed_trip, term_stats)
@@ -226,7 +225,6 @@ class WandTopK:
         )
         extra_ids = np.setdiff1d(pruned_ids, rare_ids)
         if extra_ids.size == 0:
-            postings.unpersist()
             return (
                 spark.createDataFrame(seed_top, "doc_id long, score double")
                 if seed_top
@@ -241,7 +239,6 @@ class WandTopK:
             .limit(k)
             .collect()
         )
-        postings.unpersist()
         merged = sorted(
             list(seed_top) + list(extra_top), key=lambda r: (-r["score"], r["doc_id"])
         )[:k]

@@ -69,7 +69,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Input splits sized for CPU-bound scans, not IO-bound ones: this
+        # engine's big scans feed the Arrow tokenize stage, where a byte of
+        # input costs ~25x its read time in regex work. The stock 128 MB
+        # splits leave fewer tasks than cores on mid-size inputs (measured:
+        # the 2M-doc tokenize stage got 14 splits for 16 cores -> 0.47
+        # scaling efficiency; 32 MB splits give >=4 tasks/core and the
+        # stragglers amortize). openCost 1 MB keeps many-small-file layouts
+        # from being re-packed into the same too-coarse splits.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # Shuffle/spill to tmpfs: the sandbox has ONE shared spinning-ish
         # disk, so concurrent shuffle writers serialize on iowait there; a
         # real cluster gives each executor local NVMe. tmpfs is the honest

@@ -63,6 +63,14 @@ class IndexBuilder:
     commit_group: int | None = None  # buckets per write job (None = all)
     encode_partitions: int | None = None  # pin the encode exchange width
     store_content: bool = True  # False = slim docs table (no content copy)
+    # True: per-doc tf computed map-side in an Arrow Python stage (shuffle
+    # carries distinct (doc,term) rows — fewer bytes, but the corpus
+    # crosses the JVM<->Python boundary twice). False: pure-JVM tokenize +
+    # explode; the shuffle carries raw token occurrences and the encoder
+    # run-length-counts tf post-shuffle (one Python crossing, all of it in
+    # the 0.96-scaling encode stage; measured the better strong-scaling
+    # shape on shared-memory-bus hardware).
+    map_side_tf: bool = True
     stage_secs: dict = field(default_factory=dict)  # per-stage wall seconds
 
     # -- checkpoint ------------------------------------------------------
@@ -238,14 +246,23 @@ class IndexBuilder:
         if fail_after_buckets is not None:
             raise BuildAborted("injected failure before fast postings job")
         t0 = time.monotonic()
-        # per-doc tf computed map-side in Arrow C++ (functions/tokenizer.
-        # doc_tf_arrow): no JVM hash agg, and the one shuffle carries
-        # distinct (doc, term) rows, not raw token occurrences
-        from search_engine_core_spark.functions.tokenizer import doc_tf_arrow
+        if self.map_side_tf:
+            # per-doc tf computed map-side in Arrow C++ (functions/
+            # tokenizer.doc_tf_arrow): no JVM hash agg, and the one shuffle
+            # carries distinct (doc, term) rows, not raw token occurrences
+            from search_engine_core_spark.functions.tokenizer import doc_tf_arrow
 
-        trip = docs.select("doc_id", "content").mapInArrow(
-            doc_tf_arrow, "doc_id long, term string, tf long"
-        ).withColumn("bucket", _bucket_expr(self.n_buckets))
+            trip = docs.select("doc_id", "content").mapInArrow(
+                doc_tf_arrow, "doc_id long, term string, tf long"
+            )
+        else:
+            # pure-JVM tokenize+explode: no tf column — the encoder counts
+            # run lengths after the (term, shard) shuffle (postings.py
+            # raw-occurrence path)
+            trip = docs.select(
+                "doc_id", F.explode(tokenize_expr("content")).alias("term")
+            )
+        trip = trip.withColumn("bucket", _bucket_expr(self.n_buckets))
         hot = self._hot_terms_sampled(docs)
         postings = build_postings(
             trip,

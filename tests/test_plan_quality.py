@@ -98,3 +98,41 @@ def test_wand_never_fully_decodes_hot_terms(idx, spark):
     assert [(r["doc_id"], round(r["score"], 9)) for r in res_naive] == [
         (r["doc_id"], round(r["score"], 9)) for r in res_wand
     ]
+
+
+def test_robots_is_allowed_broadcasts_rules(spark):
+    from search_engine_core_spark.streaming.robots import is_allowed, parse_robots
+
+    raw = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /x\n")], "domain string, content string"
+    )
+    urls = spark.createDataFrame([("https://d.com/x",)], "url string")
+    plan = _physical(is_allowed(urls, parse_robots(raw)))
+    # the rules side must broadcast: URL rows never shuffle by domain
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_claim_order_polite_broadcasts_states_and_takeordered(spark):
+    from search_engine_core_spark.streaming import frontier
+
+    log = spark.createDataFrame(
+        [("d.com", 1000, 200)], "domain string, ts long, status int"
+    )
+    tasks = spark.createDataFrame(
+        [("https://d.com/a", 1, 0)], "url string, priority int, ready_at long"
+    )
+    plan = _physical(
+        frontier.claim_order_polite(tasks, frontier.domain_states(log, 2000), 2000, 10)
+    )
+    assert "BroadcastHashJoin" in plan
+    # bounded claim = TakeOrderedAndProject, not a global Sort+Exchange
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_html_extraction_is_single_stage_no_shuffle(spark):
+    from search_engine_core_spark.functions import html as H
+
+    df = spark.createDataFrame([("<html></html>", "https://a.com/b")], "html string, url string")
+    plan = _physical(H.parse_document(df))
+    assert "Exchange" not in plan  # pure per-row projection
+

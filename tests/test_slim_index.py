@@ -37,6 +37,36 @@ def test_slim_ranks_identical_to_full(spark, slim_and_full):
         assert a == b, q
 
 
+def test_raw_occurrence_build_identical_to_map_side_tf(
+    spark, small_corpus, slim_and_full, tmp_path_factory
+):
+    """map_side_tf=False (JVM tokenize + raw-occurrence shuffle, encoder
+    run-length tf) must produce the same index content as the Arrow
+    map-side-tf build."""
+    d = str(tmp_path_factory.mktemp("rawidx"))
+    IndexBuilder(
+        spark, d + "/i", n_buckets=4, n_shards=2, map_side_tf=False
+    ).build(small_corpus)
+    raw_eng = IndexSearchEngine(spark, d + "/i", n_buckets=4)
+    full_eng = IndexSearchEngine(spark, slim_and_full + "/full", n_buckets=4)
+    for q in ["spark OR merge", "filter AND sort", '"def" token']:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in full_eng.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in raw_eng.search(q, 10).collect()]
+        assert a == b, q
+    # decoded triples identical, not just ranks
+    from search_engine_core_spark.operators.postings import decode_postings_df
+
+    t_raw = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in decode_postings_df(raw_eng.reader.postings_for_terms(["spark", "merge"])).collect()
+    }
+    t_full = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in decode_postings_df(full_eng.reader.postings_for_terms(["spark", "merge"])).collect()
+    }
+    assert t_raw == t_full
+
+
 def test_attach_content_restores_phrase_and_content(spark, slim_and_full, small_corpus):
     slim = IndexSearchEngine(spark, slim_and_full + "/slim", n_buckets=4)
     slim.reader.attach_content(small_corpus)
