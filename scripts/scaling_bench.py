@@ -52,8 +52,10 @@ idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 # both cluster sizes; generation is harness work, never timed
 corpus = spark.read.parquet({corpus_path!r})
 t0 = time.monotonic()
+import os
 b = IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
-                 n_shards={n_shards}, encode_partitions={n_shards} * 4)
+                 n_shards={n_shards}, encode_partitions={n_shards} * 4,
+                 map_side_tf=os.environ.get("SCALE_RAW_TF", "") != "1")
 b.build(corpus)
 build = time.monotonic() - t0
 eng = IndexSearchEngine(spark, idx + "/i", n_buckets=8)
@@ -100,6 +102,13 @@ def run(n_exec: int, n_docs: int, corpus_path: str, big_cores: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
+    # scrub tmpfs residue (leaked executor local dirs / half-deleted
+    # shuffle files): a prior run's dirty /dev/shm measurably slowed the
+    # NEXT run's writes (observed 2x on the postings stage)
+    import shutil as _sh
+
+    for leftover in Path("/dev/shm/spark_local").glob("*"):
+        _sh.rmtree(leftover, ignore_errors=True)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

@@ -579,6 +579,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q43_ivf_topk"] = q43
 
+    def q44(spark, sf_dir):  # embedding-cosine near-dup pairs (LSH-bucketed)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.embedding_near_dup(emb, threshold=0.25, n_bits=8, seed=42)
+
+    q["q44_embedding_near_dup"] = q44
+
     return q
 
 
@@ -1101,6 +1107,22 @@ SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
   FROM e JOIN vb ON e.vec_id = vb.vec_id CROSS JOIN q
   WHERE vb.bucket IN (SELECT pb FROM probes))
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # q44: near-dup pairs within the same hyperplane bucket, cos >= 0.25
+    o["q44_embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
+planes AS (SELECT * FROM (VALUES
+    {_pl_rows}) p(j, pl)),
+vb AS (
+  SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.ev, p.pl) > 0 THEN (1 << p.j) ELSE 0 END)::BIGINT AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(round(list_dot_product(ea.ev, eb.ev)
+               / (sqrt(list_dot_product(ea.ev, ea.ev)) * sqrt(list_dot_product(eb.ev, eb.ev))), 7), 4) AS cos_sim
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
+WHERE cos_sim >= 0.25
 """
     # q43: IVF with fixed centroids (vec_id 1..16): assign each vector to
     # its max-cosine centroid (rounded 7 dp, smallest index tiebreak),

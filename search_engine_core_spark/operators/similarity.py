@@ -221,6 +221,45 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cos_sim >= threshold, candidates bucketed by random-hyperplane
+    sign-LSH so the join is equi-join-on-bucket + within-bucket verify —
+    never an all-pairs cross join. Quadratic only within a bucket
+    (2^n_bits cells; raise n_bits as the corpus grows, exactly like the
+    MinHash band fan-out cap in operators/dedup.py). Recall note: a pair
+    on opposite sides of any hyperplane is missed — raise recall by
+    unioning pairs from a few seeds (independent bucketings), each a
+    separate cheap pass."""
+    if dim is None:
+        dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = random_hyperplanes(dim, n_bits, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(c, "bucket").filter(F.col("a.vec_id") < F.col("c.vec_id"))
+    cos = F.round(F.round(cosine(F.col("a.v"), F.col("c.v")), 7), 4)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

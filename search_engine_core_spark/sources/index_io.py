@@ -145,16 +145,18 @@ class IndexBuilder:
 
         obs = None
         full_docs = with_doc_columns(corpus) if "doc_id" not in corpus.columns else corpus
+        docs_thread = None
+        docs_err: list[Exception] = []
         if ("docs", 0) not in done:
             t0_docs = time.monotonic()
             from pyspark.sql import Observation
 
-            docs = full_docs
+            docs_out = full_docs
             # corpus stats ride the docs write via observe(): no second
             # full scan job just for (n_docs, avgdl) — at 1-executor scale
             # that scan was pure serial tail
             obs = Observation("corpus_stats")
-            docs = docs.observe(
+            docs_out = docs_out.observe(
                 obs, F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
             )
             if not self.store_content:
@@ -164,40 +166,75 @@ class IndexBuilder:
                 # slim table keeps metadata + doclen + content_sha256;
                 # readers re-attach content by deriving doc_id from the
                 # source (deterministic) via IndexReader.attach_content.
-                docs = docs.drop("content")
-            docs.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
+                docs_out = docs_out.drop("content")
+
+            def _write_docs():
+                try:
+                    docs_out.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
+                except Exception as e:  # surfaced after join
+                    docs_err.append(e)
+
+            if self.commit_group is None:
+                # FAST path: the docs copy is bandwidth-bound and the
+                # postings job is CPU-bound — run them CONCURRENTLY (FAIR
+                # scheduler shares task slots) and tokenize from the
+                # in-memory source projection instead of the not-yet-
+                # written docs parquet. Biggest win at large cluster
+                # sizes, where either job alone underutilizes the slots.
+                import threading
+
+                docs_thread = threading.Thread(target=_write_docs, name="docs-write")
+                docs_thread.start()
+            else:
+                _write_docs()
+                if docs_err:
+                    raise docs_err[0]
         else:
             t0_docs = None
 
-        docs = self.spark.read.parquet(f"{self.index_dir}/docs")
-        if not self.store_content:
-            # tokenize from the in-memory source projection, not the slim
-            # parquet (which has no content column)
+        if t0_docs is not None and docs_thread is not None:
+            docs = full_docs  # postings tokenize directly from the source
+        elif not self.store_content:
+            # slim parquet has no content column — tokenize from the source
             docs = full_docs
+        else:
+            docs = self.spark.read.parquet(f"{self.index_dir}/docs")
 
-        if ("stats", 0) not in done:
-            t0 = time.monotonic()
-            if obs is not None:
-                got = obs.get
-                stats_df = self.spark.createDataFrame(
-                    [(int(got["n_docs"]), float(got["avgdl"]))], "n_docs long, avgdl double"
-                )
-            else:  # resume path: docs were written by a previous attempt
-                stats_df = docs.agg(
-                    F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
-                )
-            stats_df.write.mode("overwrite").parquet(f"{self.index_dir}/stats")
-            self._log("stats", 0, "completed", 0, 0, attempt, t0)
-        self._n_docs = int(
-            self.spark.read.parquet(f"{self.index_dir}/stats").collect()[0]["n_docs"]
-        )
-        if t0_docs is not None:
-            # doc count comes from the docs write's observation — no count scan
-            self._log("docs", 0, "completed", self._n_docs, 0, attempt, t0_docs)
+        def _finish_docs_and_stats():
+            """Join the overlapped docs write, then stats + lineage — also
+            called on postings failure so a crash leaves docs/stats
+            checkpointed exactly like the sequential build did."""
+            if docs_thread is not None:
+                docs_thread.join()
+                if docs_err:
+                    raise docs_err[0]
+            if ("stats", 0) not in done:
+                t0 = time.monotonic()
+                if obs is not None:
+                    got = obs.get
+                    stats_df = self.spark.createDataFrame(
+                        [(int(got["n_docs"]), float(got["avgdl"]))], "n_docs long, avgdl double"
+                    )
+                else:  # resume path: docs were written by a previous attempt
+                    stats_df = self.spark.read.parquet(f"{self.index_dir}/docs").agg(
+                        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+                    )
+                stats_df.write.mode("overwrite").parquet(f"{self.index_dir}/stats")
+                self._log("stats", 0, "completed", 0, 0, attempt, t0)
+            self._n_docs = int(
+                self.spark.read.parquet(f"{self.index_dir}/stats").collect()[0]["n_docs"]
+            )
+            if t0_docs is not None:
+                # doc count from the docs write's observation — no count scan
+                self._log("docs", 0, "completed", self._n_docs, 0, attempt, t0_docs)
 
         if self.commit_group is None:
-            self._build_fast(docs, done, attempt, fail_after_buckets)
+            try:
+                self._build_fast(docs, done, attempt, fail_after_buckets)
+            finally:
+                _finish_docs_and_stats()
         else:
+            _finish_docs_and_stats()
             self._build_resumable(docs, done, attempt, fail_after_buckets)
 
         if ("dfreq", 0) not in self._completed():

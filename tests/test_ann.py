@@ -79,6 +79,23 @@ def test_ivf_topk_subset_of_corpus(emb, qvec, exact_ids):
     assert _recall(hits, exact_ids) >= 0.0
 
 
+def test_embedding_near_dup_pairs_are_true_pairs(spark, emb):
+    """Every emitted pair must pass the exact-cosine threshold (verify step
+    is exact), ids ordered a < b, no duplicates."""
+    pairs = similarity.embedding_near_dup(emb, threshold=0.25, n_bits=8).collect()
+    assert pairs
+    seen = set()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.25
+        key = (r["id_a"], r["id_b"])
+        assert key not in seen
+        seen.add(key)
+    # recall grows as buckets coarsen (fewer bits -> bigger cells)
+    n_coarse = similarity.embedding_near_dup(emb, threshold=0.25, n_bits=4).count()
+    assert n_coarse >= len(pairs)
+
+
 def test_ivf_seeded_centroids_path(emb, qvec):
     rest = emb.filter(F.col("vec_id") != 0)
     hits = similarity.ivf_topk(rest, qvec, 5, n_centroids=8, n_probe=2).collect()
