@@ -55,7 +55,8 @@ t0 = time.monotonic()
 import os
 b = IndexBuilder(spark, idx + "/i", n_buckets=8, hot_df_threshold=max(1000, n_docs // 10),
                  n_shards={n_shards}, encode_partitions={n_shards} * 4,
-                 map_side_tf=os.environ.get("SCALE_RAW_TF", "") != "1")
+                 map_side_tf=os.environ.get("SCALE_RAW_TF", "") != "1",
+                 store_content=os.environ.get("SCALE_SLIM", "") != "1")
 b.build(corpus)
 build = time.monotonic() - t0
 eng = IndexSearchEngine(spark, idx + "/i", n_buckets=8)

@@ -585,6 +585,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q44_embedding_near_dup"] = q44
 
+    def q45(spark, sf_dir):  # gap-sessionization (batch twin of the
+        # applyInPandasWithState streaming operator)
+        from search_engine_core_spark.streaming.windows import sessionize_batch
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = sessionize_batch(ev, gap_minutes=30, tiebreak_col="event_id")
+        return out.select(
+            "user_id",
+            F.unix_seconds("session_start").alias("session_start"),
+            F.unix_seconds("session_end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
+    q["q45_sessionize"] = q45
+
+    def q46(spark, sf_dir):  # event-time tumbling-window aggregation
+        from search_engine_core_spark.streaming.windows import windowed_event_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_event_counts(ev, window="1 hour", watermark=None)
+        return out.select(
+            F.unix_seconds("window_start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            _r2(F.col("total_value")).alias("total_value"),
+        )
+
+    q["q46_windowed_counts"] = q46
+
     return q
 
 
@@ -1123,6 +1152,32 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
 WHERE cos_sim >= 0.25
+"""
+    # q45: gap-sessionization, 30-min gap, (ts, event_id) total order
+    o["q45_sessionize"] = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, ts,
+         sum(new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _sid
+  FROM s)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts)))::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sid GROUP BY user_id, _sid
+"""
+    # q46: tumbling 1-hour event-time windows
+    o["q46_windowed_counts"] = """
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(round(sum(value), 7), 4) AS total_value
+FROM events GROUP BY 1, 2
 """
     # q43: IVF with fixed centroids (vec_id 1..16): assign each vector to
     # its max-cosine centroid (rounded 7 dp, smallest index tiebreak),

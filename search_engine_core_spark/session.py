@@ -79,11 +79,6 @@ def get_spark(
         # from being re-packed into the same too-coarse splits.
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.files.openCostInBytes", "1048576")
-        # FAIR lets concurrently submitted jobs share task slots — the
-        # build overlaps its bandwidth-bound docs copy with the CPU-bound
-        # postings job (IndexBuilder.build); under FIFO the second job
-        # would starve until the first finishes
-        .config("spark.scheduler.mode", "FAIR")
         # Shuffle/spill to tmpfs: the sandbox has ONE shared spinning-ish
         # disk, so concurrent shuffle writers serialize on iowait there; a
         # real cluster gives each executor local NVMe. tmpfs is the honest

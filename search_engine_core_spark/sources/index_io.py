@@ -63,14 +63,23 @@ class IndexBuilder:
     commit_group: int | None = None  # buckets per write job (None = all)
     encode_partitions: int | None = None  # pin the encode exchange width
     store_content: bool = True  # False = slim docs table (no content copy)
-    # True: per-doc tf computed map-side in an Arrow Python stage (shuffle
-    # carries distinct (doc,term) rows — fewer bytes, but the corpus
-    # crosses the JVM<->Python boundary twice). False: pure-JVM tokenize +
-    # explode; the shuffle carries raw token occurrences and the encoder
-    # run-length-counts tf post-shuffle (one Python crossing, all of it in
-    # the 0.96-scaling encode stage; measured the better strong-scaling
-    # shape on shared-memory-bus hardware).
+    # True (default): per-doc tf computed map-side in an Arrow Python
+    # stage — the shuffle carries distinct (doc,term) rows, ~2x fewer than
+    # raw occurrences, at the cost of a second JVM<->Python crossing.
+    # False: pure-JVM tokenize+explode; the encoder run-length-counts tf
+    # post-shuffle. Measured A/B at 2M docs: the raw shape's 400M-row sort
+    # spills hard on a 4-core/12GB executor (670 s vs 309 s postings) and
+    # only matches map-side-tf at 16 cores — keep the default unless
+    # executors have memory to sort raw occurrences without spilling.
     map_side_tf: bool = True
+    # Opt-in: write the docs table on a side thread while the postings job
+    # runs (requires spark.scheduler.mode=FAIR to actually share slots).
+    # Measured on one shared-memory-bus box: helps the small config
+    # (fills 4-core bubbles, 372->301 s) but HURTS the big one (FAIR
+    # slot-splitting stretches the CPU-bound encode, 150->206 s), so the
+    # default is the sequential shape; on a real cluster with per-node
+    # buses the overlap trade may flip back.
+    overlap_docs_write: bool = False
     stage_secs: dict = field(default_factory=dict)  # per-stage wall seconds
 
     # -- checkpoint ------------------------------------------------------
@@ -170,17 +179,18 @@ class IndexBuilder:
 
             def _write_docs():
                 try:
+                    t0w = time.monotonic()
                     docs_out.write.mode("overwrite").parquet(f"{self.index_dir}/docs")
+                    # stage_secs: the WRITE's own duration (the lineage
+                    # row's t0_docs spans to build end in overlap mode)
+                    self.stage_secs["docs_write"] = time.monotonic() - t0w
                 except Exception as e:  # surfaced after join
                     docs_err.append(e)
 
-            if self.commit_group is None:
-                # FAST path: the docs copy is bandwidth-bound and the
-                # postings job is CPU-bound — run them CONCURRENTLY (FAIR
-                # scheduler shares task slots) and tokenize from the
-                # in-memory source projection instead of the not-yet-
-                # written docs parquet. Biggest win at large cluster
-                # sizes, where either job alone underutilizes the slots.
+            if self.commit_group is None and self.overlap_docs_write:
+                # opt-in overlap (see the field's docstring for the
+                # measured trade): tokenize reads the in-memory source
+                # projection instead of the not-yet-written docs parquet
                 import threading
 
                 docs_thread = threading.Thread(target=_write_docs, name="docs-write")

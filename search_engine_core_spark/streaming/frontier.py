@@ -243,8 +243,12 @@ def claim_order_polite(
     """O5 + T4/T5 combined: the priority claim order, minus tasks whose
     domain must wait — circuit OPEN, rate-limited, or inside its dynamic
     crawl delay (``DomainManager::shouldDelay``, DomainManager.cpp:12-47;
-    the reference's frontier skips those URLs this cycle). ``states`` is
-    :func:`domain_states` output — broadcast, no shuffle on the task side."""
+    the reference's frontier skips those URLs this cycle). A HALF_OPEN
+    domain admits exactly ONE probe task (the highest-priority ready one)
+    — success closes the circuit on the next :func:`domain_states` pass,
+    failure re-opens it (DomainManager.cpp:226-237). ``states`` is
+    :func:`domain_states` output — broadcast, no shuffle on the task side
+    for healthy domains; only the (tiny) half-open subset pays a window."""
     from search_engine_core_spark.streaming.robots import domain_of
 
     blocked = (
@@ -252,13 +256,28 @@ def claim_order_polite(
         | F.col("rate_limited")
         | (F.lit(now_ms) < F.col("last_request") + F.col("dynamic_delay_ms"))
     )
-    t = tasks.withColumn("_dom", domain_of("url")).join(
-        F.broadcast(states.withColumn("_blocked", blocked).select(F.col("domain").alias("_dom"), "_blocked")),
-        "_dom",
-        "left",
+    st = F.broadcast(
+        states.withColumn("_blocked", blocked).select(
+            F.col("domain").alias("_dom"), "_blocked", "circuit_state"
+        )
     )
-    ready = t.filter(~F.coalesce(F.col("_blocked"), F.lit(False))).drop("_dom", "_blocked")
-    return claim_order(ready, now_ms, batch_size)
+    t = tasks.withColumn("_dom", domain_of("url")).join(st, "_dom", "left")
+    ready = t.filter(~F.coalesce(F.col("_blocked"), F.lit(False)))
+    half = ready.filter(F.col("circuit_state") == "HALF_OPEN")
+    rest = ready.filter(
+        F.col("circuit_state").isNull() | (F.col("circuit_state") != "HALF_OPEN")
+    )
+    probe_w = Window.partitionBy("_dom").orderBy(
+        F.desc("priority"), F.asc("ready_at"), F.asc("url")
+    )
+    probes = (
+        half.filter(F.col("ready_at") <= now_ms)
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = rest.unionByName(probes).drop("_dom", "_blocked", "circuit_state")
+    return claim_order(out, now_ms, batch_size)
 
 
 def claim_order(tasks: DataFrame, now_ms: int, batch_size: int | None = None) -> DataFrame:

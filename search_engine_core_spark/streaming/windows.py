@@ -1,0 +1,167 @@
+"""Event-time streaming operators: watermarked windowed aggregation and
+custom stateful sessionization.
+
+The reference has no event-time windowing (SURVEY §2.10: "No watermarks,
+event-time windows ... exist anywhere"), but a complete analytics engine
+over crawl/usage event streams needs both, so these are first-class here:
+
+* :func:`windowed_event_counts` — tumbling/sliding event-time windows
+  with a watermark bounding state for late data: the canonical Structured
+  Streaming aggregation (state store per window x key, dropped once the
+  watermark passes the window end). Works identically on a batch frame
+  (no watermark needed) — the same column algebra, which is what the
+  DuckDB oracle checks.
+* :func:`sessionize` — gap-based user sessions via
+  ``applyInPandasWithState`` (the custom-stateful-operator escape hatch):
+  per-key state carries the open session across micro-batches; a session
+  closes when the gap since its last event exceeds ``gap`` or the
+  watermark times the state out. The batch twin (:func:`sessionize_batch`)
+  is a pure window-function formulation (gap > threshold -> new session
+  id) used for correctness oracles — at 10^12-event scale the streaming
+  form bounds memory by live-session state instead of a global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events int"
+)
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """(window_start, window_end, key, n, total_value) per event-time
+    window. On a streaming frame the watermark bounds the state store and
+    admits late rows up to the bound; on a batch frame it is skipped (no
+    state to bound)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user session fold. State = (start_ms, last_ms, n). Emits every
+    CLOSED session; the open one stays in state (emitted on timeout)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+        state.remove()
+        return
+
+    gap_ms = 30 * 60 * 1000
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.append(pdf["ts"].astype("int64") // 1_000_000)  # ns -> ms
+    ts = pd.concat(ts_all).sort_values().to_numpy()
+    out_rows = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = int(ts[0]), int(ts[0]), 0
+    for t in ts:
+        t = int(t)
+        if t - last > gap_ms:
+            out_rows.append((start, last, n))
+            start, n = t, 0
+        last = max(last, t)
+        n += 1
+    state.update((start, last, n))
+    # timeout once the watermark passes last+gap: closes idle sessions
+    state.setTimeoutTimestamp(last + gap_ms)
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_rows),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in out_rows],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in out_rows],
+                "n_events": [n for _, _, n in out_rows],
+            }
+        )
+
+
+def sessionize(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-sessionization (30-min gap): one state row per live
+    (user, open-session); closed sessions emit incrementally, idle ones by
+    event-time timeout. State size ~ concurrent users, independent of
+    stream length — the property the batch window-sort formulation lacks."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select("user_id", ts_col)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            SESSION_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch twin: window-function sessionization (new session when the
+    gap to the previous event exceeds the threshold). Used as the
+    correctness oracle for :func:`sessionize`; SQL-portable.
+    ``tiebreak_col`` makes the per-user ordering total when timestamps can
+    tie (cross-engine window determinism)."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    keep = ["user_id"] + order
+    with_flag = events.select(*keep).withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    )
+    with_sid = with_flag.withColumn("_sid", F.sum("_new").over(w))
+    return (
+        with_sid.groupBy("user_id", "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+        .drop("_sid")
+    )

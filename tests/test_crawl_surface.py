@@ -270,6 +270,24 @@ class TestDomainHealth:
         # bad.com circuit-open -> excluded; priority order among the rest
         assert got == ["https://new.com/c", "https://ok.com/b"]
 
+    def test_half_open_admits_single_probe(self, spark):
+        now = self.NOW
+        # old.com: 5 failures past the reset window -> HALF_OPEN
+        log = self._log(
+            spark, [("old.com", now - 400_000 + i, 500) for i in range(5)]
+        )
+        states = frontier.domain_states(log, now)
+        tasks = spark.createDataFrame(
+            [
+                ("https://old.com/a", 9, now - 1),
+                ("https://old.com/b", 5, now - 1),
+                ("https://old.com/c", 1, now - 1),
+            ],
+            "url string, priority int, ready_at long",
+        )
+        got = [r["url"] for r in frontier.claim_order_polite(tasks, states, now).collect()]
+        assert got == ["https://old.com/a"]  # one probe, highest priority
+
     def test_restrict_to_seed_domain(self, spark):
         urls = spark.createDataFrame(
             [
