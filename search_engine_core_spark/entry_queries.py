@@ -593,8 +593,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sessionize_batch(ev, gap_minutes=30, tiebreak_col="event_id")
         return out.select(
             "user_id",
-            F.unix_seconds("session_start").alias("session_start"),
-            F.unix_seconds("session_end").alias("session_end"),
+            F.unix_seconds(F.col("session_start").cast("timestamp_ltz")).alias("session_start"),
+            F.unix_seconds(F.col("session_end").cast("timestamp_ltz")).alias("session_end"),
             F.col("n_events").cast("long").alias("n_events"),
         )
 
@@ -606,7 +606,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         out = windowed_event_counts(ev, window="1 hour", watermark=None)
         return out.select(
-            F.unix_seconds("window_start").alias("window_start"),
+            F.unix_seconds(F.col("window_start").cast("timestamp_ltz")).alias("window_start"),
             "event_type",
             F.col("n").cast("long").alias("n"),
             _r2(F.col("total_value")).alias("total_value"),

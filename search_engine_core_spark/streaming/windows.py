@@ -48,7 +48,9 @@ def windowed_event_counts(
     window. On a streaming frame the watermark bounds the state store and
     admits late rows up to the bound; on a batch frame it is skipped (no
     state to bound)."""
-    df = events
+    # event-time ops (watermark, state timeout) require an instant type:
+    # normalize TIMESTAMP_NTZ parquet columns to LTZ (session tz = UTC)
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide or window)
@@ -124,7 +126,8 @@ def sessionize(
     event-time timeout. State size ~ concurrent users, independent of
     stream length — the property the batch window-sort formulation lacks."""
     return (
-        events.withWatermark(ts_col, watermark)
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+        .withWatermark(ts_col, watermark)
         .select("user_id", ts_col)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -150,7 +153,10 @@ def sessionize_batch(
     tie (cross-engine window determinism)."""
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy("user_id").orderBy(*order)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # NTZ-safe epoch seconds (session tz is UTC): TIMESTAMP_NTZ refuses a
+    # direct long cast in Spark 4
+    ep = F.unix_seconds(F.col(ts_col).cast("timestamp_ltz"))
+    gap = ep - F.lag(ep).over(w)
     keep = ["user_id"] + order
     with_flag = events.select(*keep).withColumn(
         "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
