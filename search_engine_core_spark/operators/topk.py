@@ -213,10 +213,22 @@ class WandTopK:
         seed_top = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         theta = seed_top[-1]["score"] if len(seed_top) >= k else float("-inf")
 
-        # pass 2: θ-pruned decode of the other terms (block-max skipping),
-        # survivors = pruned docs not already seeded
         ubs = {t: term_upper_bound(d, m, n) for t, (d, m) in term_stats.items()}
         idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
+        # early exit: a doc WITHOUT the rarest term scores at most the sum
+        # of the other terms' upper bounds; when that bound cannot reach θ
+        # the seed top-k is final — pass 2 (and its two jobs) never runs.
+        # Discriminative queries (rare term carries the IDF mass) take
+        # this path, leaving WAND at 3 driver jobs total.
+        if theta > sum(u for t2, u in ubs.items() if t2 != rarest):
+            return (
+                spark.createDataFrame(seed_top, "doc_id long, score double")
+                if seed_top
+                else empty
+            )
+
+        # pass 2: θ-pruned decode of the other terms (block-max skipping),
+        # survivors = pruned docs not already seeded
         others_ub = {t: sum(u for t2, u in ubs.items() if t2 != t) for t in ubs}
         pruned_trip = decode_pruned(rest_post, others_ub, idfs, theta)
         pruned_ids = np.array(
