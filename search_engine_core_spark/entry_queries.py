@@ -148,10 +148,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.planner.candidates(eng.planner.parser.parse("batch OR stream")),
             ["batch", "stream"],
         )
+        # quantize to 7 dp BEFORE the min/max: an unrounded extreme value
+        # differing by one ULP across engines shifts EVERY normalized
+        # output (caught at sf0.1); on identical 7-dp inputs the division
+        # is bit-identical IEEE on both sides
+        scored = scored.withColumn("s7", F.round("score", 7))
         w = Window.partitionBy()
-        mn, mx = F.min("score").over(w), F.max("score").over(w)
-        norm = F.when(mx - mn > 0, (F.col("score") - mn) / (mx - mn)).otherwise(F.col("score"))
-        return scored.select("doc_id", _r2(norm).alias("norm_score"))
+        mn, mx = F.min("s7").over(w), F.max("s7").over(w)
+        norm = F.when(mx - mn > 0, (F.col("s7") - mn) / (mx - mn)).otherwise(F.col("s7"))
+        # SINGLE round: the norm is bit-identical on both engines (its
+        # inputs are 7-dp quantized), and an inner 7-dp round can CREATE
+        # an exact 4-dp half boundary where Spark's shortest-string
+        # BigDecimal rounding and DuckDB's float-multiply rounding part
+        # ways (doc 284 at sf0.01: 0.40444995 -> 0.4044500 -> 0.4045/0.4044)
+        return scored.select("doc_id", F.round(norm, 4).alias("norm_score"))
 
     q["q09_minmax_normalize"] = q09
 
@@ -383,7 +393,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q35_combined_topk"] = q35
 
     def q36(spark, sf_dir):  # F9/F10 fielded reference scorer end-to-end
-        from search_engine_core_spark.functions.reference_scorer import score_results
+        from search_engine_core_spark.functions.reference_scorer import (
+            ScoringConfig,
+            score_results,
+        )
 
         d = _docs(spark, sf_dir)
         domain = (
@@ -402,10 +415,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             domain.alias("domain"),
             F.lit(0.0).alias("score"),
         )
-        out = score_results(fielded, "spark data")
+        # minScore filter + min-max normalize applied HERE over 7-dp
+        # quantized totals (scorer runs raw): an unrounded min/max extreme
+        # differing by one ULP across engines would shift every normalized
+        # value and flip 0.01-boundary membership (caught at sf0.1)
+        out = score_results(
+            fielded, "spark data", ScoringConfig(min_score=0.0, normalize=False)
+        )
+        out = out.withColumn("s7", F.round("score", 7)).filter(F.col("s7") >= 0.01)
+        w = Window.partitionBy()
+        mn, mx = F.min("s7").over(w), F.max("s7").over(w)
+        norm = F.when(mx - mn > 0, (F.col("s7") - mn) / (mx - mn)).otherwise(F.col("s7"))
+        # single 4-dp round of the bit-identical norm (see q09 note)
         return out.select(
             "url",
-            _r2(F.col("score")).alias("score"),
+            F.round(norm, 4).alias("score"),
             F.col("matched_terms").cast("long").alias("matched_terms"),
         )
 
@@ -671,14 +695,14 @@ dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
 doclen AS (SELECT doc_id, len(toks)::DOUBLE AS doclen FROM tokarr),
 scored AS (
   SELECT f.doc_id,
-         sum( ln((s.n - d.df + 0.5) / (d.df + 0.5))
-              * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avgdl)) ) AS score
+         round(sum( ln((s.n - d.df + 0.5) / (d.df + 0.5))
+              * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * l.doclen / s.avgdl)) ), 7) AS s7
   FROM tf f JOIN dft d USING (term) JOIN doclen l ON f.doc_id = l.doc_id
   CROSS JOIN stats s GROUP BY f.doc_id)
 SELECT doc_id,
-       round(round(CASE WHEN max(score) OVER () - min(score) OVER () > 0
-             THEN (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
-             ELSE score END, 7), 4) AS norm_score
+       round(CASE WHEN max(s7) OVER () - min(s7) OVER () > 0
+             THEN (s7 - min(s7) OVER ()) / (max(s7) OVER () - min(s7) OVER ())
+             ELSE s7 END, 4) AS norm_score
 FROM scored
 """
     o["q10_term_tf"] = f"""
@@ -993,11 +1017,12 @@ calc AS (
                 + (CASE WHEN {_title_find} THEN 1.5 ELSE 0.0 END)) AS total,
          {_matched} AS matched
   FROM t),
-scored AS (SELECT url, total, matched FROM calc WHERE total >= 0.01)
+scored AS (SELECT url, round(total, 7) AS t7, matched FROM calc
+           WHERE round(total, 7) >= 0.01)
 SELECT url,
-       round(round(CASE WHEN max(total) OVER () - min(total) OVER () > 0
-             THEN (total - min(total) OVER ()) / (max(total) OVER () - min(total) OVER ())
-             ELSE total END, 7), 4) AS score,
+       round(CASE WHEN max(t7) OVER () - min(t7) OVER () > 0
+             THEN (t7 - min(t7) OVER ()) / (max(t7) OVER () - min(t7) OVER ())
+             ELSE t7 END, 4) AS score,
        matched::BIGINT AS matched_terms
 FROM scored
 """
