@@ -8,6 +8,12 @@ keep the two engines hash-identical:
 * every computed double is DOUBLE-ROUNDED ``round(round(x, 7), 4)`` on
   BOTH sides: the inner round collapses cross-engine ULP noise BEFORE the
   emitted 4-dp round can flip an ``x.xxxx5`` boundary;
+* EXCEPTION — values derived from already-quantized inputs (the min-max
+  normalizations, q09/q36): quantize the INPUTS to 7 dp (min/max/quotient
+  are then bit-identical on both engines) and emit a SINGLE 4-dp round —
+  a second inner round would itself manufacture 4-dp half boundaries,
+  where Spark's shortest-decimal-string BigDecimal rounding and DuckDB's
+  float-multiply rounding disagree;
 * rankings order by that ROUNDED score, ties broken by id — the ordering
   is a function of the emitted values, so the k-boundary and OFFSET
   windows are identical on both engines by construction (round-1 q02
