@@ -644,6 +644,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q46_windowed_counts"] = q46
 
+    def q47(spark, sf_dir):  # multimodal: binary payload -> Arrow mapInPandas
+        # extract_features runs the REAL distributed plumbing (binary column
+        # through Arrow record batches into a Python decode stub); the
+        # deterministic payload_sha256 it emits is what the oracle checks.
+        from search_engine_core_spark.operators import multimodal as mm
+
+        media = mm.synthesize_media(_docs(spark, sf_dir))
+        feats = mm.extract_features(media, dim=8, fake=True)
+        return feats.select(
+            "doc_id",
+            "media_type",
+            F.col("feat_dim").cast("long").alias("feat_dim"),
+            "payload_sha256",
+        )
+
+    q["q47_multimodal_features"] = q47
+
+    def q48(spark, sf_dir):  # multimodal: video frame-sample plan (no shuffle)
+        from search_engine_core_spark.operators import multimodal as mm
+
+        media = mm.synthesize_media(_docs(spark, sf_dir))
+        frames = mm.frame_sample_plan(media, every_ms=1000)
+        return frames.select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+        )
+
+    q["q48_frame_sample"] = q48
+
     return q
 
 
@@ -1238,5 +1269,27 @@ SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
          / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
   FROM e JOIN sel USING (vec_id) CROSS JOIN q)
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    # q47: the payload is synthesize_media's deterministic 256-byte ASCII-hex
+    # stream (sha256(doc_id) repeated, truncated); payload_sha256 is what the
+    # Arrow mapInPandas stub computed with hashlib — recomputed here natively.
+    o["q47_multimodal_features"] = """
+SELECT doc_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS media_type,
+       8::BIGINT AS feat_dim,
+       sha256(substring(repeat(sha256(doc_id::VARCHAR), 9), 1, 256)) AS payload_sha256
+FROM documents
+"""
+    # q48: one row per sampled frame timestamp for video docs;
+    # n_frames = trunc(duration_ms/1000) + 1 (Spark int cast truncates;
+    # DuckDB float->int cast ROUNDS, hence the explicit floor).
+    o["q48_frame_sample"] = """
+SELECT doc_id, frame_idx, duration_ms, frame_idx * 1000 AS ts_ms FROM (
+  SELECT doc_id,
+         unnest(range(cast(floor((doc_id % 30000) / 1000.0) AS BIGINT) + 1)) AS frame_idx,
+         (doc_id % 30000)::BIGINT AS duration_ms
+  FROM documents WHERE (doc_id % 3) = 2)
 """
     return o
