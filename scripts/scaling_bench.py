@@ -26,7 +26,12 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-CORES_PER_EXEC = 4
+# SCALE_CPE: cores per executor (default 4). Lower values reduce the
+# number of concurrent memory-bus streams at the big config — used to
+# separate bus-bound from engine-bound efficiency loss (see BENCH).
+import os as _os
+
+CORES_PER_EXEC = int(_os.environ.get("SCALE_CPE", "4"))
 
 WORKER = r"""
 import json, sys, tempfile, time, shutil
@@ -45,8 +50,15 @@ n_docs = {n_docs}
 # plan with fewer cores. (Round-1 runs let each config pick
 # cores*2 partitions, which handed the 1-executor baseline a
 # cheaper plan — fewer, larger tasks — and understated efficiency.)
+# Speculation: observed once on a 4x4 leg — a single tail task wedged in
+# JVM<->Python Arrow IPC (worker blocked in write(), JVM reader in select(),
+# zero CPU for 25+ min). On a real cluster the same defense applies:
+# re-launch stragglers; parquet's commit protocol keeps retries idempotent.
 spark = get_spark("scaling", cores=cores, shuffle_partitions={shuffle_parts},
-                  master=f"local-cluster[{{n_exec}},{cpe},12288]")
+                  master=f"local-cluster[{{n_exec}},{cpe},12288]",
+                  extra_conf={{"spark.speculation": "true",
+                               "spark.speculation.multiplier": "4",
+                               "spark.speculation.quantile": "0.9"}})
 idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 # corpus pre-materialized ONCE by the parent — identical input files for
 # both cluster sizes; generation is harness work, never timed
