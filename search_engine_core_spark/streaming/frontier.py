@@ -186,7 +186,11 @@ def domain_states(
         .withColumn("_last_success", last_success)
         .withColumn("_consec_fail", F.when(after_success, F.col("_fail_ts")))
     )
-    wf = Window.partitionBy("domain").orderBy("_consec_fail")
+    # nulls LAST: rows that are not post-success failures (_consec_fail
+    # null — successes and pre-success failures) must not occupy ranks
+    # 1..threshold, or a domain with any prior successes never crosses
+    # the threshold (r2 driver bug: q40 hash mismatch)
+    wf = Window.partitionBy("domain").orderBy(F.asc_nulls_last("_consec_fail"))
     # rank the post-success failures by time: the threshold-th one is the
     # moment the circuit opened
     enriched = enriched.withColumn(

@@ -232,6 +232,54 @@ class TestDomainHealth:
         assert st["rec.com"]["circuit_state"] == "CLOSED"
         assert st["rec.com"]["consecutive_failures"] == 0
 
+    def test_opens_despite_prior_successes(self, spark):
+        """r2 driver bug (q40): with nulls-first rank ordering, a domain
+        with ANY prior successes never crossed the threshold. Successes
+        then >= threshold trailing failures must report OPEN, and
+        circuit_opened_at must be the threshold-crossing failure's own
+        ts (DomainManager.cpp:213-238)."""
+        now = self.NOW
+        rows = [("mix.com", now - 100_000 + i, 200) for i in range(10)] + [
+            ("mix.com", now - 5_000 + i, 500) for i in range(5)
+        ]
+        st = frontier.domain_states(self._log(spark, rows), now).collect()[0]
+        assert st["circuit_state"] == "OPEN"
+        assert st["consecutive_failures"] == 5
+        # opened at the 5th post-success failure, not offset by successes
+        assert st["circuit_opened_at"] == now - 5_000 + 4
+
+    def test_stays_closed_below_threshold_with_prior_successes(self, spark):
+        """The dual false-positive of the r2 bug: 2 successes then 3
+        failures ranked 3..5 with nulls-first ordering, falsely OPENing
+        at threshold 5. Must stay CLOSED."""
+        now = self.NOW
+        rows = [("few.com", now - 50_000 + i, 200) for i in range(2)] + [
+            ("few.com", now - 3_000 + i, 500) for i in range(3)
+        ]
+        st = frontier.domain_states(self._log(spark, rows), now).collect()[0]
+        assert st["circuit_state"] == "CLOSED"
+        assert st["consecutive_failures"] == 3
+        assert st["circuit_opened_at"] is None
+
+    def test_polite_blocks_open_domain_with_history(self, spark):
+        """claim_order_polite must exclude a domain whose circuit opened
+        after a success-heavy history (the regime the r2 fixtures never
+        exercised)."""
+        now = self.NOW
+        log = self._log(
+            spark,
+            [("hist.com", now - 100_000 + i, 200) for i in range(20)]
+            + [("hist.com", now - 500 + i, 500) for i in range(6)]
+            + [("fine.com", now - 60_000, 200)],
+        )
+        states = frontier.domain_states(log, now)
+        tasks = spark.createDataFrame(
+            [("https://hist.com/a", 9, now - 1), ("https://fine.com/b", 1, now - 1)],
+            "url string, priority int, ready_at long",
+        )
+        got = [r["url"] for r in frontier.claim_order_polite(tasks, states, now).collect()]
+        assert got == ["https://fine.com/b"]
+
     def test_rate_limit_and_dynamic_delay(self, spark):
         now = self.NOW
         rows = [
