@@ -91,6 +91,12 @@ class IndexSearchEngine:
         self.stats = self.reader.stats
         self.field_map = field_map
         self.wand = WandTopK(self.reader, self.stats)
+        # index-open warming (what every engine does at startup): load the
+        # driver-resident term dictionary and Lucene-style norms now, so
+        # the first query doesn't pay the two one-time jobs. Both are
+        # size-guarded no-ops on corpora too big for driver residency.
+        self.reader.term_meta([])
+        self.reader.norms()
 
     def _planner(self, terms: list[str]) -> Planner:
         from search_engine_core_spark.operators.postings import decode_postings_df

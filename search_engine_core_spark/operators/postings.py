@@ -428,16 +428,27 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
     return postings.mapInPandas(gen, "doc_id long, term string, tf long")
 
 
-def decode_postings_for_docs(postings: DataFrame, target_ids: np.ndarray) -> DataFrame:
+def decode_postings_for_docs(postings: DataFrame, target_ids) -> DataFrame:
     """Block-targeted decode: emit (doc_id, term, tf) ONLY for docs in
-    ``target_ids`` (sorted int64). Per row, binary-search which blocks'
+    ``target_ids``. Per row, binary-search which blocks'
     [block_first, block_last] ranges intersect the target set and byte-
     decode just those (the block offsets make the skip real); posting rows
     whose blocks all miss are never touched. This is WAND's exact-scoring
-    primitive — it replaces full postings decodes for seed/survivor docs."""
-    targets = np.unique(np.asarray(target_ids, dtype=np.int64))
+    primitive — it replaces full postings decodes for seed/survivor docs.
+
+    ``target_ids`` is either an int64 ndarray (small sets; shipped in the
+    task closure) or a ``pyspark.Broadcast`` of a SORTED-UNIQUE int64
+    array — the scale path: the id set reaches each worker once via the
+    broadcast machinery instead of riding every task's pickled closure."""
+    from pyspark import Broadcast
+
+    is_bc = isinstance(target_ids, Broadcast)
+    targets_local = (
+        None if is_bc else np.unique(np.asarray(target_ids, dtype=np.int64))
+    )
 
     def gen(batches):
+        targets = target_ids.value if is_bc else targets_local
         for pdf in batches:
             ids_all: list[np.ndarray] = []
             tfs_all: list[np.ndarray] = []

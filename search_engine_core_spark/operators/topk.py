@@ -92,6 +92,62 @@ def decode_pruned(
     return postings.mapInPandas(gen, "doc_id long, term string, tf long")
 
 
+def decode_score_for_docs(
+    postings: DataFrame,
+    bc_pairs,
+    idf_map: dict[str, float],
+    avgdl: float,
+) -> DataFrame:
+    """Fused block-targeted decode + exact BM25 partial scoring for a
+    known doc set: one mapInPandas emits per-doc partial (score, n_terms)
+    already pre-aggregated within each batch, so the seeded top-k needs
+    NO broadcast-exchange of decoded triples and NO per-query docs-table
+    join — the doclen lookup rides ``bc_pairs``, a Broadcast of
+    ``(sorted ids int64, aligned doclens float64)`` fetched once with the
+    seed ids. The BM25 expression mirrors ``WandTopK._score_exact``'s
+    operation order (idf * (tf*(k1+1)) / denom) so scores agree with the
+    naive path to float noise (<< the 1e-9 test tolerance)."""
+
+    def gen(batches):
+        targets, dls = bc_pairs.value
+        for pdf in batches:
+            ids_parts: list[np.ndarray] = []
+            ts_parts: list[np.ndarray] = []
+            for row in pdf.to_dict("records"):
+                bf = np.asarray(row["block_first"], dtype=np.int64)
+                bl = np.asarray(row["block_last"], dtype=np.int64)
+                mask = np.searchsorted(targets, bf, "left") < np.searchsorted(
+                    targets, bl, "right"
+                )
+                if not mask.any():
+                    continue
+                ids, tfs = decode_postings_row(row, block_mask=mask)
+                pos = np.searchsorted(targets, ids)
+                keep = (pos < targets.size) & (targets[np.minimum(pos, targets.size - 1)] == ids)
+                if not keep.any():
+                    continue
+                ids = ids[keep]
+                tf = tfs[keep].astype(np.float64)
+                dl = dls[pos[keep]]
+                idf = idf_map.get(row["term"], 0.0)
+                ts = (idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                ids_parts.append(ids)
+                ts_parts.append(ts)
+            if ids_parts:
+                all_ids = np.concatenate(ids_parts)
+                all_ts = np.concatenate(ts_parts)
+                uids, inv = np.unique(all_ids, return_inverse=True)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": uids,
+                        "s": np.bincount(inv, weights=all_ts),
+                        "nt": np.bincount(inv).astype(np.int64),
+                    }
+                )
+
+    return postings.mapInPandas(gen, "doc_id long, s double, nt long")
+
+
 class WandTopK:
     """Block-max two-pass top-k over an IndexReader."""
 
@@ -99,8 +155,19 @@ class WandTopK:
         self.reader = reader
         self.stats = stats
 
-    def _score_exact(self, trip: DataFrame, term_stats: dict[str, tuple[int, int]]) -> DataFrame:
-        """(doc_id, term, tf) restricted to query terms -> (doc_id, score)."""
+    def _score_exact(
+        self,
+        trip: DataFrame,
+        term_stats: dict[str, tuple[int, int]],
+        require_n_terms: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, term, tf) restricted to query terms -> (doc_id, score).
+
+        ``require_n_terms`` folds AND-candidate selection into the SAME
+        aggregation: a doc qualifies iff it holds that many query terms,
+        so the term-count rides the score groupBy for free — no separate
+        count pass + semi-join re-decoding the postings (the r2 wand_1
+        regression was exactly that extra job chain)."""
         n, avgdl = self.stats.n_docs, self.stats.avgdl
         df_map = F.create_map(
             *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
@@ -126,7 +193,12 @@ class WandTopK:
                 ),
             )
         )
-        return per.groupBy("doc_id").agg(F.sum("ts").alias("score"))
+        agg = per.groupBy("doc_id").agg(
+            F.sum("ts").alias("score"), F.count(F.lit(1)).alias("_nt")
+        )
+        if require_n_terms is not None:
+            agg = agg.filter(F.col("_nt") == require_n_terms)
+        return agg.select("doc_id", "score")
 
     def topk(
         self, terms: list[str], k: int = 10, mode: str = "OR", seed_cap: int = 200_000
@@ -150,14 +222,29 @@ class WandTopK:
         # column pruning — caching would materialize the hot terms' binary
         # block payloads (exactly the bytes WAND exists to never touch).
         postings = self.reader.postings_for_terms(terms)
-        # per-term aggregates from the metadata columns alone: one row per
-        # (term, shard) — a handful of rows — so the shard collapse happens
-        # driver-side with no groupBy job and no binary-column read.
-        meta_rows = postings.select("term", "df", "max_tf").collect()
-        term_stats: dict[str, tuple[int, int]] = {}
-        for r in meta_rows:
-            d0, m0 = term_stats.get(r["term"], (0, 0))
-            term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
+        from search_engine_core_spark.operators.postings import (
+            decode_postings_df,
+            decode_postings_for_docs,
+        )
+
+        # dictionary lookup: the driver-resident term dictionary answers
+        # term -> (df, max_tf) with NO Spark job (real engines hold the
+        # dictionary in RAM — the reference's RediSearch does entirely);
+        # when the vocabulary exceeds the reader's size guard, fall back
+        # to a per-query pruned metadata scan (one row per (term, shard),
+        # no binary-column read). Measured alternatives at sf0.1: the
+        # sequential metadata collect costs ~0.2 s/query of driver
+        # scheduling; fusing it into the seed job (in-plan rarest term,
+        # union with meta rows) or overlapping the two actions in threads
+        # was SLOWER still — the chained broadcast sub-queries serialize
+        # inside one job and cost more than the round-trip they replace.
+        term_stats = self.reader.term_meta(terms)
+        if term_stats is None:
+            meta_rows = postings.select("term", "df", "max_tf").collect()
+            term_stats = {}
+            for r in meta_rows:
+                d0, m0 = term_stats.get(r["term"], (0, 0))
+                term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
         present = [t for t in terms if t in term_stats]
         if not present:
             return empty
@@ -165,11 +252,6 @@ class WandTopK:
 
         if mode == "AND" and len(present) < len(terms):
             return empty
-
-        from search_engine_core_spark.operators.postings import (
-            decode_postings_df,
-            decode_postings_for_docs,
-        )
 
         rarest = min(present, key=lambda t: term_stats[t][0])
         rare_post = postings.filter(F.col("term") == rarest)
@@ -181,40 +263,71 @@ class WandTopK:
             rows = self._topk_full_decode(postings, term_stats, present, k, mode)
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
-        # pass 1: decode ONLY the rarest term fully; its doc set seeds both
-        # AND candidates and the OR threshold θ. One job: the rare triples
-        # are collected whole (bounded by seed_cap) — the id set must reach
-        # the driver anyway to parameterize the block-targeted decode.
-        rare_rows = decode_postings_df(rare_post).collect()
-        if not rare_rows:
-            return empty
-        rare_ids = np.sort(np.array([r["doc_id"] for r in rare_rows], dtype=np.int64))
-        rare_trip = spark.createDataFrame(rare_rows, "doc_id long, term string, tf long")
-        seed_trip = rare_trip.unionByName(
-            decode_postings_for_docs(rest_post, rare_ids)
+        # pass 1: decode ONLY the rarest term, and collect ONLY its doc-id
+        # array (bounded by seed_cap) in ONE job — the id set must reach
+        # the driver to parameterize the block-targeted decode, but
+        # nothing else does. Doclens come from the reader's resident norms
+        # (Lucene-style; no per-query docs join) when the corpus fits the
+        # guard, else from a broadcast-join against the docs table. The
+        # (ids, doclens) pair goes back out as ONE broadcast; everything
+        # downstream is one fused distributed job (decode + score + agg +
+        # TakeOrdered) with no broadcast-exchange of decoded triples (the
+        # r2 wand_1 regression was exactly these extra job chains).
+        # toArrow, NOT toPandas: pandas may widen long columns, and 64-bit
+        # doc ids are not float64-representable past the 53-bit mantissa.
+        norms = self.reader.norms()
+        if norms is not None:
+            ids_tbl = decode_postings_df(rare_post).select("doc_id").toArrow()
+            rare_ids = np.sort(ids_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+            if rare_ids.size == 0:
+                return empty
+            dls = norms[1][np.searchsorted(norms[0], rare_ids)]
+        else:
+            pairs = (
+                self.reader.docs.select("doc_id", "doclen")
+                .join(F.broadcast(decode_postings_df(rare_post).select("doc_id")), "doc_id")
+                .toArrow()
+            )
+            if pairs.num_rows == 0:
+                return empty
+            ids_np = pairs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dls_np = pairs["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(ids_np)
+            rare_ids = ids_np[order]
+            dls = dls_np[order]
+        bc_pairs = spark.sparkContext.broadcast((rare_ids, dls))
+        idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
+        # all terms incl. the rarest: for the rarest the target set is its
+        # own doc set, so block-targeting degrades to the full decode —
+        # one operator, no union, and hot terms stay block-skipped.
+        seed_agg = (
+            decode_score_for_docs(postings, bc_pairs, idfs, self.stats.avgdl)
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("score"), F.sum("nt").alias("_nt"))
         )
 
         if mode == "AND":
-            cand = (
-                seed_trip.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("_nt"))
-                .filter(F.col("_nt") == len(present))
-                .select("doc_id")
-            )
+            # AND needs no θ machinery: candidates = docs holding ALL
+            # terms (term-count rides the same agg), already restricted
+            # to the rarest term's doc set. One distributed chain.
             rows = (
-                self._score_exact(seed_trip.join(cand, "doc_id", "left_semi"), term_stats)
+                seed_agg.filter(F.col("_nt") == len(present))
+                .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
             )
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
-        seed_scores = self._score_exact(seed_trip, term_stats)
-        seed_top = seed_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+        seed_top = (
+            seed_agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
         theta = seed_top[-1]["score"] if len(seed_top) >= k else float("-inf")
 
         ubs = {t: term_upper_bound(d, m, n) for t, (d, m) in term_stats.items()}
-        idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
         # early exit: a doc WITHOUT the rarest term scores at most the sum
         # of the other terms' upper bounds; when that bound cannot reach θ
         # the seed top-k is final — pass 2 (and its two jobs) never runs.

@@ -521,6 +521,65 @@ class IndexReader:
             f"{index_dir}/postings"
         )
         self.dfreq = spark.read.parquet(f"{index_dir}/dfreq").select("term", "df")
+        # driver-resident term dictionary (lazy): None = not yet loaded,
+        # False = too big for the driver (size guard tripped)
+        self._term_dict: dict[str, tuple[int, int]] | None | bool = None
+
+    # every real engine holds the term dictionary in RAM (the reference's
+    # RediSearch keeps it entirely in memory); at 10^12-file scale the
+    # vocabulary may not fit a driver, so the load is guarded — above the
+    # cap, callers fall back to a per-query pruned metadata scan.
+    TERM_DICT_CAP = 4_000_000
+
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]] | None:
+        """term -> (df, max_tf) aggregated over shards, from the
+        driver-resident dictionary; None when the dictionary exceeds
+        TERM_DICT_CAP (caller must scan per-query). Loaded once per
+        reader — like the cached ``stats`` row, it reflects the index at
+        load time; recreate the reader after a delete()/rebuild."""
+        if self._term_dict is None:
+            tbl = (
+                self.postings.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+                .limit(self.TERM_DICT_CAP + 1)
+                .toArrow()
+            )
+            if tbl.num_rows > self.TERM_DICT_CAP:
+                self._term_dict = False
+            else:
+                self._term_dict = {
+                    t: (int(d), int(m))
+                    for t, d, m in zip(
+                        tbl["term"].to_pylist(),
+                        tbl["df"].to_pylist(),
+                        tbl["max_tf"].to_pylist(),
+                    )
+                }
+        if self._term_dict is False:
+            return None
+        return {t: self._term_dict[t] for t in terms if t in self._term_dict}
+
+    # Lucene keeps per-doc norms (doclen) resident per segment; the Spark
+    # analog caches the (doc_id, doclen) arrays once per reader so query-
+    # time BM25 needs no per-query docs-table join. 8M docs = ~128 MB;
+    # above the guard, callers fall back to the join.
+    NORMS_CAP = 8_000_000
+
+    def norms(self):
+        """(sorted doc_id int64 array, aligned doclen float64 array), or
+        None when n_docs exceeds NORMS_CAP. One job on first call."""
+        if getattr(self, "_norms", None) is None:
+            if self.stats.n_docs > self.NORMS_CAP:
+                self._norms = False
+            else:
+                import numpy as np
+
+                tbl = self.docs.select("doc_id", "doclen").toArrow()
+                ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                dls = tbl["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+                order = np.argsort(ids)
+                self._norms = (ids[order], dls[order])
+        return None if self._norms is False else self._norms
 
     def attach_content(self, corpus: DataFrame) -> None:
         """Slim-index complement (store_content=False builds): re-attach
