@@ -32,10 +32,15 @@ class SearchEngine:
 
     def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
         """Top-k (doc_id, score), deterministic tiebreak (score desc, id asc).
-        ``algorithm`` selects the scorer — bm25 | tfidf | combined — the
-        Spark twin of ``SearchScorer::setAlgorithm`` / the ``SCORER``
-        passthrough (``src/scoring/SearchScorer.cpp:625-643``,
-        ``src/search_core/Scorer.cpp:27-38``)."""
+        ``algorithm`` selects the scorer — bm25 | tfidf | combined |
+        fielded — the Spark twin of ``SearchScorer::setAlgorithm`` / the
+        ``SCORER`` passthrough (``src/scoring/SearchScorer.cpp:625-643``,
+        ``src/search_core/Scorer.cpp:27-38``); ``fielded`` dispatches to
+        the reference's flagship field-weighted scorer."""
+        if algorithm == "fielded":
+            from search_engine_core_spark.functions.reference_scorer import fielded_topk
+
+            return fielded_topk(self.docs, query, k)
         return self.planner.topk(query, k, algorithm)
 
     def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
@@ -117,6 +122,17 @@ class IndexSearchEngine:
     def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
         from search_engine_core_spark.plans.planner import scoring_terms
 
+        if algorithm == "fielded":
+            # flagship fielded scorer over the index's docs table (needs
+            # content — slim indexes must attach_content() first)
+            from search_engine_core_spark.functions.reference_scorer import fielded_topk
+
+            if "content" not in self.reader.docs.columns:
+                raise ValueError(
+                    "algorithm='fielded' needs the content column: "
+                    "slim index readers must attach_content(corpus) first"
+                )
+            return fielded_topk(self.reader.docs, query, k)
         ast = QueryParser().parse(query)
         return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
 

@@ -468,9 +468,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _HTML_URL = "https://ex.com/a/b.html"
 
     def _html_col(d):
-        t = F.substring("text", 1, 30)
-        desc = F.substring("text", 31, 40)
-        body = F.substring("text", 71, 200)
+        # sanitize HTML metacharacters out of the injected substrings on
+        # BOTH sides (same regexp in the oracle): a stray <, >, quote or &
+        # inside the text would break the synthesized markup's structure
+        # and make extraction diverge data-dependently (r2 ADVICE)
+        def _san(c):
+            return F.regexp_replace(c, "[<>\"'&]", "_")
+
+        t = _san(F.substring("text", 1, 30))
+        desc = _san(F.substring("text", 31, 40))
+        body = _san(F.substring("text", 71, 200))
         return F.concat(
             F.lit("<html><head><title>"), t,
             F.lit('</title><meta name="description" content="'), desc,
@@ -674,6 +681,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q48_frame_sample"] = q48
+
+    def q49(spark, sf_dir):  # 64-bit SimHash banded Hamming near-dup
+        return dedup.simhash_near_dup_pairs(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 40),
+            bits=64,
+            max_hamming=16,
+        )
+
+    q["q49_simhash_near_dup"] = q49
 
     return q
 
@@ -1083,9 +1099,9 @@ ORDER BY h.score DESC, h.doc_id
     o["q38_html_extract"] = """
 WITH src AS (
   SELECT doc_id,
-         substr(text, 1, 30) AS t,
-         substr(text, 31, 40) AS d,
-         substr(text, 71, 200) AS b
+         regexp_replace(substr(text, 1, 30), '[<>"''&]', '_', 'g') AS t,
+         regexp_replace(substr(text, 31, 40), '[<>"''&]', '_', 'g') AS d,
+         regexp_replace(substr(text, 71, 200), '[<>"''&]', '_', 'g') AS b
   FROM documents WHERE doc_id < 50)
 SELECT doc_id,
        nullif(t, '') AS title,
@@ -1291,5 +1307,37 @@ SELECT doc_id, frame_idx, duration_ms, frame_idx * 1000 AS ts_ms FROM (
          unnest(range(cast(floor((doc_id % 30000) / 1000.0) AS BIGINT) + 1)) AS frame_idx,
          (doc_id % 30000)::BIGINT AS duration_ms
   FROM documents WHERE (doc_id % 3) = 2)
+"""
+    # q49: the oracle is the SPEC, not the algorithm — brute-force
+    # all-pairs popcount over 40 docs; the Spark side must find exactly
+    # these pairs through the banded pigeonhole join (recall == 1 by
+    # construction, so outputs are equal). Bit 63 is the sign bit: OR in
+    # min-long (written overflow-safe) instead of an impossible 1<<63.
+    bits64 = ",\n    ".join(
+        (
+            f"sum(tf * (((h1 >> {j}) & 1) * 2 - 1)) AS b{j}"
+            if j < 60
+            else f"sum(tf * (((h2 >> {j - 60}) & 1) * 2 - 1)) AS b{j}"
+        )
+        for j in range(64)
+    )
+    sim64 = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN {(1 << j) if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
+        for j in range(64)
+    )
+    o["q49_simhash_near_dup"] = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents WHERE doc_id < 40),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+hashed AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(sha256(term), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(sha256(term), 16, 15))::BIGINT AS h2
+  FROM tf),
+bits AS (SELECT doc_id, {bits64} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, ({sim64})::BIGINT AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
 """
     return o

@@ -343,3 +343,36 @@ def score_results(
         )
     scored = scored.orderBy(F.desc("score"), F.asc("url"))
     return scored.limit(top_k) if top_k else scored
+
+
+def fielded_topk(docs: DataFrame, query: str, k: int = 10,
+                 cfg: ScoringConfig | None = None,
+                 stats: ReferenceStats | None = None) -> DataFrame:
+    """X1/X4 wiring for ``search(algorithm="fielded")``: map a code-corpus
+    table (doc_id, repo, path, content) onto the reference's web-document
+    fields and run the flagship fielded scorer
+    (``SearchScorer::scoreResults``, ``src/scoring/SearchScorer.cpp``):
+
+      url := repo "/" path   title := path       content := content
+      description := ""      domain := repo      base score := 0
+
+    Output matches the other algorithms' contract: (doc_id, score),
+    deterministic order (score desc, doc_id asc), top-k. The (repo, path)
+    pair is unique per document by the input_hint's table shape, so the
+    url join-back is 1:1."""
+    fielded = docs.select(
+        F.col("doc_id"),
+        F.concat_ws("/", F.coalesce(F.col("repo"), F.lit("")), F.col("path")).alias("url"),
+        F.coalesce(F.col("path"), F.lit("")).alias("title"),
+        F.col("content"),
+        F.lit("").alias("description"),
+        F.coalesce(F.col("repo"), F.lit("")).alias("domain"),
+        F.lit(0.0).alias("score"),
+    )
+    scored = score_results(fielded.drop("doc_id"), query, cfg, stats)
+    return (
+        scored.join(fielded.select("doc_id", "url"), "url", "inner")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -172,24 +172,93 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — tf-weighted sign sums of token-hash bits.
-    16 bits keeps the per-bit expression fan-out portable to plain SQL."""
+    """(doc_id, simhash) — tf-weighted sign sums of token-hash bits
+    (Charikar STOC'02). ``bits<=120``, drawn from two 60-bit sha2 halves
+    (both SQL-portable); bit 63 lands in the sign of the long via
+    shiftleft wraparound, accumulation is bitwiseOR (disjoint bits), so
+    64-bit — the production width for web near-dup (Manku et al. WWW'07)
+    — is exact. 16-bit stays the oracle-pinned q24 default."""
+    if bits > 120:
+        raise ValueError("simhash supports at most 120 bits (two sha2 halves)")
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(F.col(text_col))).alias("term")
     ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    h = portable_hash60(F.col("term"))
+    h1 = portable_hash60(F.col("term"))
+    h2 = F.conv(F.substring(F.sha2(F.col("term"), 256), 16, 15), 16, 10).cast("long")
     bit_sums = [
         F.sum(
-            F.col("tf") * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            F.col("tf")
+            * (
+                F.shiftright(h1 if j < 60 else h2, j if j < 60 else j - 60)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     per_doc = tok.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
+        term = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` of each
+    other's ``bits``-wide simhash — the Manku/Jain/Sarma (WWW'07) banded
+    scheme: split the fingerprint into ``max_hamming+1`` bands; by
+    pigeonhole, any pair within distance d agrees EXACTLY on >=1 band, so
+    candidates come from a band-key equi-join (never an all-pairs cross
+    join — quadratic only within a band bucket) and are verified with one
+    popcount. Arithmetic-shift + mask band extraction is sign-safe for
+    the 64-bit top band and portable to plain SQL."""
+    n_bands = max_hamming + 1
+    if bits < n_bands:
+        raise ValueError("bits must be >= max_hamming+1")
+    sig = simhash(docs, text_col, id_col, bits=bits)
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    starts = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), starts[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

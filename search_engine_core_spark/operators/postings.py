@@ -414,6 +414,98 @@ def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
     )
 
 
+def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [start_i, start_i+len_i) ranges, no per-range loop.
+    Zero-length ranges are dropped first — they would alias positions in
+    the cumsum-reset idiom below."""
+    nz = lens > 0
+    starts, lens = starts[nz], lens[nz]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = starts + lens
+    incr = np.ones(total, dtype=np.int64)
+    pos = np.cumsum(np.concatenate(([0], lens[:-1])))
+    incr[pos] = starts
+    incr[pos[1:]] -= ends[:-1] - 1
+    return np.cumsum(incr)
+
+
+def decode_masked_batch(pdf: pd.DataFrame, block_mask_fn):
+    """Segmented-vectorized decode of SELECTED blocks across a whole
+    pandas batch of postings rows — the block-mask twin of
+    ``_decode_chunk`` (r2 VERDICT #4: the per-row ``to_dict('records')``
+    loops in the block-targeted/θ-pruned paths, vectorized). Per-VALUE
+    and per-BLOCK work is pure numpy; only the unavoidable per-row array
+    unpacking remains (same cost class as ``_decode_chunk``).
+
+    ``block_mask_fn(bf, bl, bmax, row_of_block) -> bool mask`` decides
+    which flat blocks decode, given each block's first/last doc_id, max
+    tf, and owning batch-row index. Unselected blocks are never
+    byte-read. Returns ``(doc_ids int64, tfs uint64, val_row int64)``
+    where ``val_row`` maps each posting back to its batch row (for term
+    lookup), or None when nothing survives."""
+    if pdf.empty:
+        return None
+    nb = np.array([len(x) for x in pdf["block_n"]], dtype=np.int64)
+    if nb.sum() == 0:
+        return None
+    bn_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_n"]])
+    bf_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_first"]])
+    bl_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_last"]])
+    go_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_gap_off"]])
+    to_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_tf_off"]])
+    bmax_flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["block_max_tf"]])
+    row_of_block = np.repeat(np.arange(nb.size, dtype=np.int64), nb)
+
+    mask = block_mask_fn(bf_flat, bl_flat, bmax_flat, row_of_block)
+    sel = np.flatnonzero(mask)
+    if sel.size == 0:
+        return None
+
+    # byte ranges per block: next block's offset within the row, else the
+    # row stream's end; row streams live at cumsum bases in the batch-
+    # concatenated buffers
+    def _ranges(off_flat, row_lens):
+        base = np.concatenate(([0], np.cumsum(row_lens)))
+        start = base[row_of_block] + off_flat
+        end = np.empty_like(start)
+        if start.size > 1:
+            same_row = row_of_block[1:] == row_of_block[:-1]
+            end[:-1] = np.where(same_row, start[1:], base[row_of_block[:-1] + 1])
+        end[-1] = base[row_of_block[-1] + 1]
+        return start, end
+
+    gap_lens = np.array([len(b) for b in pdf["doc_gaps"]], dtype=np.int64)
+    tf_lens = np.array([len(b) for b in pdf["tfs"]], dtype=np.int64)
+    g_start, g_end = _ranges(go_flat, gap_lens)
+    t_start, t_end = _ranges(to_flat, tf_lens)
+
+    gap_buf = np.frombuffer(b"".join(pdf["doc_gaps"]), dtype=np.uint8)
+    tf_buf = np.frombuffer(b"".join(pdf["tfs"]), dtype=np.uint8)
+    gb = gap_buf[_multi_arange(g_start[sel], g_end[sel] - g_start[sel])]
+    tb = tf_buf[_multi_arange(t_start[sel], t_end[sel] - t_start[sel])]
+
+    bn_sel = bn_flat[sel]
+    total = int(bn_sel.sum())
+    gaps = vb_decode(gb.tobytes(), count=total - sel.size)
+    tf_vals = vb_decode(tb.tobytes(), count=total)
+
+    # doc ids: per-block reset cumsum over (block_first, gaps...) — the
+    # exact math of _decode_chunk restricted to the selected blocks
+    block_starts = np.concatenate(([0], np.cumsum(bn_sel)[:-1]))
+    is_start = np.zeros(total, dtype=bool)
+    is_start[block_starts] = True
+    vals = np.empty(total, dtype=np.uint64)
+    vals[is_start] = bf_flat[sel].astype(np.uint64) + np.uint64(1 << 63)
+    vals[~is_start] = gaps
+    cs = np.cumsum(vals, dtype=np.uint64)
+    blk_of = np.cumsum(is_start) - 1
+    u = cs - cs[block_starts[blk_of]] + vals[block_starts[blk_of]]
+    val_row = np.repeat(row_of_block[sel], bn_sel)
+    return unbias(u), tf_vals, val_row
+
+
 def decode_postings_df(postings: DataFrame) -> DataFrame:
     """Postings rows -> (doc_id, term, tf) triples via Arrow mapInPandas —
     the inverse of build_postings; used by the materialized query path and
@@ -450,35 +542,27 @@ def decode_postings_for_docs(postings: DataFrame, target_ids) -> DataFrame:
     def gen(batches):
         targets = target_ids.value if is_bc else targets_local
         for pdf in batches:
-            ids_all: list[np.ndarray] = []
-            tfs_all: list[np.ndarray] = []
-            terms_all: list[np.ndarray] = []
-            for row in pdf.to_dict("records"):
-                bf = np.asarray(row["block_first"], dtype=np.int64)
-                bl = np.asarray(row["block_last"], dtype=np.int64)
-                # block intersects targets iff a target falls in [first,last]
-                mask = np.searchsorted(targets, bf, "left") < np.searchsorted(
-                    targets, bl, "right"
-                )
-                if not mask.any():
-                    continue
-                ids, tfs = decode_postings_row(row, block_mask=mask)
-                keep = (
-                    np.searchsorted(targets, ids, "right")
-                    - np.searchsorted(targets, ids, "left")
-                ) > 0
-                if not keep.any():
-                    continue
-                ids_all.append(ids[keep])
-                tfs_all.append(tfs[keep].astype(np.int64))
-                terms_all.append(np.repeat(row["term"], int(keep.sum())))
-            if ids_all:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(ids_all),
-                        "term": np.concatenate(terms_all),
-                        "tf": np.concatenate(tfs_all),
-                    }
-                )
+            # block intersects targets iff a target falls in [first, last]
+            out = decode_masked_batch(
+                pdf,
+                lambda bf, bl, bmax, rob: np.searchsorted(targets, bf, "left")
+                < np.searchsorted(targets, bl, "right"),
+            )
+            if out is None:
+                continue
+            ids, tfs, val_row = out
+            pos = np.searchsorted(targets, ids)
+            keep = (pos < targets.size) & (
+                targets[np.minimum(pos, targets.size - 1)] == ids
+            )
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[keep],
+                    "term": pdf["term"].to_numpy()[val_row[keep]],
+                    "tf": tfs[keep].astype(np.int64),
+                }
+            )
 
     return postings.mapInPandas(gen, "doc_id long, term string, tf long")

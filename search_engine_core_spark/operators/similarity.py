@@ -163,6 +163,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_ids: list[int] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition vectors by nearest centroid, search the
     ``n_probe`` centroids nearest the query (cosine desc, centroid index
@@ -173,7 +174,10 @@ def ivf_topk(
     the write-time partition key at scale."""
     import numpy as np
 
-    if centroid_ids is not None:
+    if centroids is not None:
+        # caller-provided vectors (e.g. ivf_kmeans_centroids output)
+        cents = [list(map(float, c)) for c in centroids]
+    elif centroid_ids is not None:
         rows = (
             embeddings.filter(F.col(id_col).isin(list(centroid_ids)))
             .select(id_col, vec_col)
@@ -287,3 +291,57 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means refinement of the seeded-sample IVF centroids —
+    the drop-in the q43 docstring promised. Each iteration is one
+    distributed assign (the same rounded-cosine argmax expression
+    ``ivf_topk`` uses, so training and search partition identically) plus
+    one tiny (cluster, dim) mean — posexplode -> groupBy avg ->
+    n_centroids x dim rows collected to the driver (a few KB; the loop is
+    bounded by ``n_iters``, never data-dependent). Empty cells keep their
+    previous centroid (standard Lloyd degeneracy handling). Feed the
+    result to ``ivf_topk(centroids=...)``; at scale the final assignment
+    is the write-time partition key."""
+    import numpy as np
+
+    cents = [
+        list(map(float, r[vec_col]))
+        for r in embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + seed))
+        .limit(n_centroids)
+        .collect()
+    ]
+    v = F.col(vec_col)
+    for _ in range(n_iters):
+        sims = F.array(
+            *[F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 7) for c in cents]
+        )
+        assigned = embeddings.withColumn(
+            "_cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode(v).alias("dim", "val"))
+            .groupBy("_cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], {})[r["dim"]] = float(r["m"])
+        new_cents = []
+        for ci, old in enumerate(cents):
+            got = by_cell.get(ci)
+            new_cents.append(
+                [got.get(d, 0.0) for d in range(len(old))] if got else old
+            )
+        cents = new_cents
+    return cents

@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_core_spark.functions.scoring import B, K1
-from search_engine_core_spark.operators.postings import decode_postings_row
 from search_engine_core_spark.operators.stats import CorpusStats
 
 
@@ -65,29 +64,34 @@ def decode_pruned(
     terms; block passes iff others_ub + idf⁺(t)·tf_ub(block_max_tf) ≥ θ."""
 
     def gen(batches):
+        from search_engine_core_spark.operators.postings import decode_masked_batch
+
         for pdf in batches:
-            ids_all, tfs_all, terms_all = [], [], []
-            for row in pdf.to_dict("records"):
-                t = row["term"]
-                others = per_term_others_ub.get(t, 0.0)
-                idf_pos = max(per_term_idf.get(t, 0.0), 0.0)
-                bmax = np.asarray(row["block_max_tf"], dtype=np.float64)
-                bound = others + idf_pos * (bmax * (K1 + 1.0)) / (bmax + K1 * (1.0 - B))
-                mask = bound >= theta
-                if not mask.any():
-                    continue
-                ids, tfs = decode_postings_row(row, block_mask=mask)
-                ids_all.append(ids)
-                tfs_all.append(tfs.astype(np.int64))
-                terms_all.append(np.repeat(t, ids.size))
-            if ids_all:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(ids_all),
-                        "term": np.concatenate(terms_all),
-                        "tf": np.concatenate(tfs_all),
-                    }
+            others_row = pdf["term"].map(lambda t: per_term_others_ub.get(t, 0.0)).to_numpy(
+                dtype=np.float64
+            )
+            idf_row = pdf["term"].map(
+                lambda t: max(per_term_idf.get(t, 0.0), 0.0)
+            ).to_numpy(dtype=np.float64)
+
+            def bound_mask(bf, bl, bmax, rob):
+                bm = bmax.astype(np.float64)
+                bound = others_row[rob] + idf_row[rob] * (bm * (K1 + 1.0)) / (
+                    bm + K1 * (1.0 - B)
                 )
+                return bound >= theta
+
+            out = decode_masked_batch(pdf, bound_mask)
+            if out is None:
+                continue
+            ids, tfs, val_row = out
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "term": pdf["term"].to_numpy()[val_row],
+                    "tf": tfs.astype(np.int64),
+                }
+            )
 
     return postings.mapInPandas(gen, "doc_id long, term string, tf long")
 
@@ -109,41 +113,38 @@ def decode_score_for_docs(
     naive path to float noise (<< the 1e-9 test tolerance)."""
 
     def gen(batches):
+        from search_engine_core_spark.operators.postings import decode_masked_batch
+
         targets, dls = bc_pairs.value
         for pdf in batches:
-            ids_parts: list[np.ndarray] = []
-            ts_parts: list[np.ndarray] = []
-            for row in pdf.to_dict("records"):
-                bf = np.asarray(row["block_first"], dtype=np.int64)
-                bl = np.asarray(row["block_last"], dtype=np.int64)
-                mask = np.searchsorted(targets, bf, "left") < np.searchsorted(
-                    targets, bl, "right"
-                )
-                if not mask.any():
-                    continue
-                ids, tfs = decode_postings_row(row, block_mask=mask)
-                pos = np.searchsorted(targets, ids)
-                keep = (pos < targets.size) & (targets[np.minimum(pos, targets.size - 1)] == ids)
-                if not keep.any():
-                    continue
-                ids = ids[keep]
-                tf = tfs[keep].astype(np.float64)
-                dl = dls[pos[keep]]
-                idf = idf_map.get(row["term"], 0.0)
-                ts = (idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-                ids_parts.append(ids)
-                ts_parts.append(ts)
-            if ids_parts:
-                all_ids = np.concatenate(ids_parts)
-                all_ts = np.concatenate(ts_parts)
-                uids, inv = np.unique(all_ids, return_inverse=True)
-                yield pd.DataFrame(
-                    {
-                        "doc_id": uids,
-                        "s": np.bincount(inv, weights=all_ts),
-                        "nt": np.bincount(inv).astype(np.int64),
-                    }
-                )
+            out = decode_masked_batch(
+                pdf,
+                lambda bf, bl, bmax, rob: np.searchsorted(targets, bf, "left")
+                < np.searchsorted(targets, bl, "right"),
+            )
+            if out is None:
+                continue
+            ids, tfs, val_row = out
+            pos = np.searchsorted(targets, ids)
+            keep = (pos < targets.size) & (targets[np.minimum(pos, targets.size - 1)] == ids)
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            tf = tfs[keep].astype(np.float64)
+            dl = dls[pos[keep]]
+            idf_row = pdf["term"].map(lambda t: idf_map.get(t, 0.0)).to_numpy(
+                dtype=np.float64
+            )
+            idf = idf_row[val_row[keep]]
+            ts = (idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            uids, inv = np.unique(ids, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": uids,
+                    "s": np.bincount(inv, weights=ts),
+                    "nt": np.bincount(inv).astype(np.int64),
+                }
+            )
 
     return postings.mapInPandas(gen, "doc_id long, s double, nt long")
 

@@ -241,7 +241,17 @@ class IndexBuilder:
         if self.commit_group is None:
             try:
                 self._build_fast(docs, done, attempt, fail_after_buckets)
-            finally:
+            except BaseException:
+                # still finish the overlapped docs/stats writes (their
+                # thread may hold resources), but never let THEIR failure
+                # mask the build error being propagated — the root cause
+                # of a failed build must surface, not the secondary one
+                try:
+                    _finish_docs_and_stats()
+                except Exception:
+                    pass
+                raise
+            else:
                 _finish_docs_and_stats()
         else:
             _finish_docs_and_stats()

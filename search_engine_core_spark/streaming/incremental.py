@@ -28,20 +28,79 @@ from search_engine_core_spark.corpus import CORPUS_SCHEMA, with_doc_columns
 from search_engine_core_spark.operators.stats import triples
 
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 100_000,
+) -> dict[str, str]:
+    """Reader options implementing the reference consumer's at-least-once
+    contract (``src/kafka/KafkaConsumer.cpp:63-89``): it subscribes with
+    ``auto.offset.reset=earliest`` and commits offsets MANUALLY only
+    after a message is fully processed. Structured Streaming's Kafka
+    source gives the same guarantee a different way — offsets live in the
+    query's checkpointLocation and advance only when a batch commits, so
+    Kafka-side auto-commit stays disabled (the source never commits to
+    the broker). ``failOnDataLoss=false`` mirrors the reference's
+    tolerate-and-log handling of retention-expired offsets
+    (KafkaConsumer.cpp error branch); ``maxOffsetsPerTrigger`` bounds a
+    catch-up batch the way ``maxFilesPerTrigger`` bounds the file source."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+    }
+
+
+def parse_kafka_corpus(raw: DataFrame) -> DataFrame:
+    """Kafka records -> corpus rows: ``value`` holds one JSON document per
+    message, the shape the reference's producer emits
+    (``src/kafka/KafkaProducer.cpp:15-42`` sends the serialized document
+    JSON). Malformed messages yield null fields (PERMISSIVE) and are
+    dropped rather than poisoning the batch — the reference logs and
+    skips deserialization failures the same way."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), CORPUS_SCHEMA).alias("d")
+    ).select("d.*")
+    return parsed.filter(F.col("content").isNotNull())
+
+
 def start_incremental_index(
     spark: SparkSession,
     inbox_dir: str,
     index_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    source: str = "files",
+    kafka_options: dict | None = None,
 ):
-    """Stream corpus files from ``inbox_dir`` into delta triple segments
-    under ``<index_dir>/delta``. Returns the StreamingQuery."""
-    stream = (
-        spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(inbox_dir)
-    )
+    """Stream new corpus documents into delta triple segments under
+    ``<index_dir>/delta``. Returns the StreamingQuery.
+
+    ``source="files"`` tails ``inbox_dir`` (the sandbox default — no
+    Kafka jars available here, so this path is what the integration
+    tests exercise). ``source="kafka"`` swaps in the Kafka source with
+    the reference consumer's at-least-once contract; ``kafka_options``
+    are the kwargs of :func:`kafka_source_options`. Everything after the
+    source — batching, idempotent replay via batch_id, lineage — is
+    source-agnostic, so the swap is exactly the source + value parsing."""
+    if source == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .options(**kafka_source_options(**(kafka_options or {})))
+            .load()
+        )
+        stream = parse_kafka_corpus(raw)
+    elif source == "files":
+        stream = (
+            spark.readStream.schema(CORPUS_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(inbox_dir)
+        )
+    else:
+        raise ValueError(f"unknown source {source!r} (files|kafka)")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = with_doc_columns(batch_df)

@@ -92,7 +92,10 @@ def parse_robots(raw: DataFrame, domain_col: str = "domain", content_col: str = 
         F.when(F.col("directive").isin("allow", "disallow") & (F.col("pattern") != ""), rx).alias("regex"),
         F.when(
             F.col("directive") == "crawl-delay",
-            (F.col("pattern").cast("float") * 1000).cast("int"),
+            # try_cast: a malformed delay value is ignored (null -> group
+            # default), like the reference's tolerated std::stof failure —
+            # ANSI-mode cast would fail the whole query on one bad line
+            (F.col("pattern").try_cast("float") * 1000).try_cast("int"),
         ).alias("crawl_delay_ms"),
         "pos",
     )

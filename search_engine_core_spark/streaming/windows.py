@@ -67,9 +67,11 @@ def windowed_event_counts(
     )
 
 
-def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_ms: int = 30 * 60 * 1000):
     """Per-user session fold. State = (start_ms, last_ms, n). Emits every
-    CLOSED session; the open one stays in state (emitted on timeout)."""
+    CLOSED session; the open one stays in state (emitted on timeout).
+    ``gap_ms`` is bound by :func:`sessionize` so stream and batch twins
+    agree for ANY gap, not only the 30-minute default."""
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
@@ -85,7 +87,6 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         state.remove()
         return
 
-    gap_ms = 30 * 60 * 1000
     ts_all = []
     for pdf in pdfs:
         ts_all.append(pdf["ts"].astype("int64") // 1_000_000)  # ns -> ms
@@ -120,18 +121,24 @@ def sessionize(
     events: DataFrame,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    gap_minutes: int = 30,
 ) -> DataFrame:
-    """Streaming gap-sessionization (30-min gap): one state row per live
+    """Streaming gap-sessionization: one state row per live
     (user, open-session); closed sessions emit incrementally, idle ones by
     event-time timeout. State size ~ concurrent users, independent of
-    stream length — the property the batch window-sort formulation lacks."""
+    stream length — the property the batch window-sort formulation lacks.
+    ``gap_minutes`` matches :func:`sessionize_batch`'s parameter (the
+    stream/batch equivalence holds for any shared value)."""
+    import functools
+
+    fn = functools.partial(_session_fn, gap_ms=gap_minutes * 60 * 1000)
     return (
         events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
         .withWatermark(ts_col, watermark)
         .select("user_id", ts_col)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn,
+            fn,
             SESSION_SCHEMA,
             _STATE_SCHEMA,
             "append",
