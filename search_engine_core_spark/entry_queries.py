@@ -691,6 +691,86 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q49_simhash_near_dup"] = q49
 
+    def q50(spark, sf_dir):  # P8 crawl-delay precedence (spec oracle)
+        from search_engine_core_spark.streaming.robots import crawl_delay_ms, parse_robots
+
+        raw = spark.createDataFrame(
+            [
+                # specific group with its own delay
+                ("s1.com", "User-agent: googlebot\nCrawl-delay: 2.5\nDisallow: /x\n"),
+                # specific group exists but sets no delay -> 1000 default,
+                # and NO fallback to the * group's 9s
+                ("s2.com", "User-agent: googlebot\nDisallow: /x\nUser-agent: *\nCrawl-delay: 9\n"),
+                # only a * group -> its delay applies
+                ("s3.com", "User-agent: *\nCrawl-delay: 1.5\n"),
+                # malformed delay -> tolerated (null) -> group default
+                ("s4.com", "User-agent: *\nCrawl-delay: soon\nDisallow: /y\n"),
+            ],
+            "domain string, content string",
+        )
+        out = crawl_delay_ms(parse_robots(raw), user_agent="googlebot")
+        return out.select("domain", F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms"))
+
+    q["q50_crawl_delay"] = q50
+
+    def q51(spark, sf_dir):  # T3/F22 retry schedule with exponential backoff
+        from search_engine_core_spark.streaming.frontier import schedule_retries
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        results = ev.select(
+            F.concat(F.lit("https://h"), F.col("user_id"), F.lit("/e"), F.col("event_id")).alias(
+                "url"
+            ),
+            F.when(F.col("event_type") == "error", 503)
+            .when(F.col("event_type") == "purchase", 429)
+            .when(F.col("event_type") == "view", 404)
+            .otherwise(200)
+            .alias("status"),
+            (F.col("event_id") % 4).cast("int").alias("retry"),
+        )
+        return schedule_retries(results, now_ms=10**9).select(
+            "url", F.col("retry").cast("long").alias("retry"), "ready_at"
+        )
+
+    q["q51_retry_schedule"] = q51
+
+    def q52(spark, sf_dir):  # T1/T2/J4 BFS frontier reachability
+        from search_engine_core_spark.streaming.frontier import bfs_frontier
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        edges = li.select(
+            F.concat(F.lit("n"), F.col("l_orderkey") % 300).alias("src"),
+            F.concat(F.lit("n"), F.col("l_partkey") % 300).alias("dst"),
+        ).distinct()
+        seeds = spark.createDataFrame([("n0",), ("n1",)], "url string")
+        return bfs_frontier(edges, seeds, max_depth=4).select(
+            "url", F.col("depth").cast("long").alias("depth")
+        )
+
+    q["q52_bfs_frontier"] = q52
+
+    def q53(spark, sf_dir):  # F15/F17 URL normalize + domain/path split
+        from search_engine_core_spark.streaming.frontier import normalize_url
+        from search_engine_core_spark.streaming.robots import domain_of, path_of
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 500)
+        url = F.concat(
+            F.lit("HTTPS://WwW.h"),
+            F.col("o_custkey") % 50,
+            F.lit(".COM/Path"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("/"), F.col("o_orderkey"), F.lit("/")))
+            .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("/"), F.col("o_orderkey"), F.lit("#frag")))
+            .otherwise(F.lit("/")),
+        )
+        return o.select(
+            F.col("o_orderkey").alias("id"),
+            normalize_url(url).alias("norm"),
+            domain_of(normalize_url(url)).alias("domain"),
+            path_of(normalize_url(url)).alias("path"),
+        )
+
+    q["q53_url_normalize"] = q53
+
     return q
 
 
@@ -1339,5 +1419,70 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+    # q50: spec oracle — the expected delays under the reference's
+    # precedence (specific group wins with NO fallback; absent/invalid
+    # delay -> 1000 default) for the four literal bodies in the query.
+    o["q50_crawl_delay"] = """
+SELECT domain, crawl_delay_ms::BIGINT AS crawl_delay_ms FROM (VALUES
+  ('s1.com', 2500), ('s2.com', 1000), ('s3.com', 1500), ('s4.com', 1000)
+) t(domain, crawl_delay_ms)
+"""
+    # q51: FailureClassifier + exponential backoff arithmetic. SUCCESS
+    # (2xx) and PERMANENT (404) never requeue; TEMPORARY (503) uses the
+    # 1 s base, RATE_LIMITED (429) the 60 s base; delay = base * 2^retry
+    # capped at 60 s (all values exactly integral -> cast-safe).
+    o["q51_retry_schedule"] = """
+WITH r AS (
+  SELECT 'https://h' || user_id || '/e' || event_id AS url,
+         CASE WHEN event_type = 'error' THEN 503
+              WHEN event_type = 'purchase' THEN 429
+              WHEN event_type = 'view' THEN 404
+              ELSE 200 END AS status,
+         (event_id % 4) AS retry
+  FROM events)
+SELECT url,
+       (retry + 1)::BIGINT AS retry,
+       (1000000000 + least(
+          CASE WHEN status = 429 THEN 60000.0 ELSE 1000.0 END * power(2.0, retry),
+          60000.0))::BIGINT AS ready_at
+FROM r WHERE status IN (503, 429)
+"""
+    # q52: BFS reachability == min-depth <= 4 via a recursive CTE with
+    # set-semantics UNION (terminates: (url, depth) pairs are bounded).
+    o["q52_bfs_frontier"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'n' || (l_orderkey % 300) AS src,
+                  'n' || (l_partkey % 300) AS dst
+  FROM lineitem),
+r(url, depth) AS (
+  SELECT url, 0 FROM (VALUES ('n0'), ('n1')) s(url)
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r, e WHERE e.src = r.url AND r.depth < 4)
+SELECT url, min(depth)::BIGINT AS depth FROM r GROUP BY url
+"""
+    # q53: URLFrontier normalization (lowercase, strip #fragment, strip
+    # trailing slash except root) + domain/path split.
+    o["q53_url_normalize"] = """
+WITH u AS (
+  SELECT o_orderkey AS id,
+         'HTTPS://WwW.h' || (o_custkey % 50) || '.COM/Path' ||
+         CASE WHEN o_orderkey % 3 = 0 THEN '/' || o_orderkey || '/'
+              WHEN o_orderkey % 3 = 1 THEN '/' || o_orderkey || '#frag'
+              ELSE '/' END AS url
+  FROM orders WHERE o_orderkey < 500),
+n1 AS (
+  SELECT id, regexp_replace(lower(trim(url)), '#.*$', '') AS u FROM u),
+n2 AS (
+  SELECT id,
+         CASE WHEN regexp_matches(u, '^https?://[^/]+/$') OR u NOT LIKE '%/'
+              THEN u ELSE substr(u, 1, length(u) - 1) END AS norm
+  FROM n1)
+SELECT id, norm,
+       nullif(regexp_extract(norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1), '') AS domain,
+       CASE WHEN regexp_extract(norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?]*)', 1) = ''
+            THEN '/'
+            ELSE regexp_extract(norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?]*)', 1) END AS path
+FROM n2
 """
     return o
