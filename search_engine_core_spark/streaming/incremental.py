@@ -111,8 +111,10 @@ def start_incremental_index(
             .parquet(f"{index_dir}/delta")
         )
         (
-            docs.drop("content")
-            .withColumn("batch_id", F.lit(batch_id))
+            # content kept: the LSM read path (DeltaSearchEngine) serves
+            # phrase-verify/snippets from delta docs too; the duplication
+            # is bounded by compaction cadence (level-0 residency)
+            docs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(f"{index_dir}/delta_docs")
         )
@@ -140,6 +142,91 @@ def delta_triples(spark: SparkSession, index_dir: str) -> DataFrame:
     deduped = raw.dropDuplicates(["doc_id", "term", "batch_id"])
     latest = deduped.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
     return deduped.join(latest, ["doc_id", "batch_id"]).select("doc_id", "term", "tf")
+
+
+class DeltaSearchEngine:
+    """The LSM READ path: answer queries over [main postings ⊎ delta
+    segments] WITHOUT waiting for compaction — newly streamed documents
+    are searchable as soon as their micro-batch commits, exactly like
+    RediSearch absorbing live HSET updates while the reference crawls
+    (``src/storage/RedisSearchStorage.cpp:127-172``). ``compact_deltas``
+    later folds the same rows into the compressed postings; ranks are
+    identical before and after by construction (tested).
+
+    Semantics per query:
+    * candidate triples = decoded main postings for the query terms,
+      MINUS docs superseded by any delta batch (re-crawl replacement),
+      UNION the delta triples (latest-batch-wins, replay-deduped);
+    * df for idf = exact count over that merged term slice (a term's
+      global df IS the number of docs holding it — the merged slice
+      contains every such doc for the query's terms);
+    * corpus stats (N, avgdl) = main stats adjusted by the delta docs —
+      one tiny aggregation at engine construction.
+
+    Scale shape: the main side stays bucket-pruned + block-compressed;
+    the delta side is a plain columnar scan bounded by compaction
+    cadence (classic LSM level-0). Nothing decodes outside the query's
+    terms."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, n_buckets: int = 16):
+        from search_engine_core_spark.sources.index_io import IndexReader
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.reader = IndexReader(spark, index_dir, n_buckets)
+        self.delta = delta_triples(spark, index_dir).localCheckpoint(eager=True)
+        try:
+            ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
+            w_latest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+            self.delta_docs = (
+                ddocs.dropDuplicates(["doc_id", "batch_id"])
+                .join(w_latest, ["doc_id", "batch_id"])
+                .drop("batch_id")
+                .localCheckpoint(eager=True)
+            )
+        except Exception:
+            # no delta_docs (empty level-0, e.g. right after compaction):
+            # an empty frame with the MAIN docs schema keeps every column
+            # through the union (a narrower schema would project content
+            # away and break phrase verify / snippets)
+            self.delta_docs = spark.createDataFrame([], self.reader.docs.schema)
+        sup = self.delta_docs.select("doc_id")
+        # every column both sides share survives (lang/repo filters,
+        # content for phrase verify + snippets); engine-specific extras drop
+        common = [c for c in self.reader.docs.columns if c in self.delta_docs.columns]
+        if not common:
+            common = ["doc_id", "doclen"]
+        self.docs = (
+            self.reader.docs.select(*common)
+            .join(sup, "doc_id", "left_anti")
+            .unionByName(self.delta_docs.select(*common))
+        )
+        agg = self.docs.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        from search_engine_core_spark.operators.stats import CorpusStats
+
+        self.stats = CorpusStats(n_docs=int(agg["n"]), avgdl=float(agg["avgdl"] or 1.0))
+
+    def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
+        from search_engine_core_spark.operators.postings import decode_postings_df
+        from search_engine_core_spark.plans.planner import Planner, scoring_terms
+        from search_engine_core_spark.plans.query_parser import QueryParser
+
+        ast = QueryParser().parse(query)
+        terms = scoring_terms(ast)
+        sup = self.delta_docs.select("doc_id")
+        if terms:
+            main_trip = decode_postings_df(
+                self.reader.postings_for_terms(terms)
+            ).join(sup, "doc_id", "left_anti")
+            trip = main_trip.unionByName(
+                self.delta.filter(F.col("term").isin(terms))
+            ).localCheckpoint(eager=True)
+        else:
+            trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
+        dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        return Planner(self.docs, trip, dfreq, self.stats).topk_ast(ast, k, algorithm)
 
 
 def compact_deltas(
@@ -196,5 +283,50 @@ def compact_deltas(
     )
     shutil.rmtree(f"{index_dir}/postings")
     shutil.move(tmp, f"{index_dir}/postings")
+
+    # the docs table, corpus stats and dfreq must move WITH the postings,
+    # or post-compaction readers score against a corpus that no longer
+    # contains the delta docs (stale N/avgdl, missing doclens) — the
+    # compacted index must be indistinguishable from a fresh batch build
+    try:
+        ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
+        latest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+        ddocs = (
+            ddocs.dropDuplicates(["doc_id", "batch_id"])
+            .join(latest, ["doc_id", "batch_id"])
+            .drop("batch_id")
+        )
+        main_docs = spark.read.parquet(f"{index_dir}/docs")
+        cols = [c for c in main_docs.columns if c in ddocs.columns]
+        new_docs = (
+            main_docs.select(*cols)
+            .join(ddocs.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(ddocs.select(*cols))
+        )
+        dtmp = f"{index_dir}/docs_compact_tmp"
+        new_docs.write.mode("overwrite").parquet(dtmp)
+        shutil.rmtree(f"{index_dir}/docs")
+        shutil.move(dtmp, f"{index_dir}/docs")
+    except Exception:
+        pass  # no delta_docs (triples-only stream): docs table unchanged
+    docs_now = spark.read.parquet(f"{index_dir}/docs")
+    stats_df = docs_now.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    stats_df.write.mode("overwrite").parquet(f"{index_dir}/stats_compact_tmp")
+    shutil.rmtree(f"{index_dir}/stats")
+    shutil.move(f"{index_dir}/stats_compact_tmp", f"{index_dir}/stats")
+    post_now = spark.read.option("basePath", f"{index_dir}/postings").parquet(
+        f"{index_dir}/postings"
+    )
+    new_dfreq = post_now.groupBy("term", "bucket").agg(F.sum("df").alias("df"))
+    (
+        new_dfreq.sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/dfreq_compact_tmp")
+    )
+    shutil.rmtree(f"{index_dir}/dfreq", ignore_errors=True)
+    shutil.move(f"{index_dir}/dfreq_compact_tmp", f"{index_dir}/dfreq")
     shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)
     shutil.rmtree(f"{index_dir}/delta_docs", ignore_errors=True)

@@ -180,3 +180,57 @@ def test_sessionize_stream_respects_gap_param(spark, tmp_path):
     assert len(got) >= 1
     assert any(r["n_events"] == 2 for r in got)
     _sh.rmtree(str(d), ignore_errors=True)
+
+
+# ---- LSM read path: query main + deltas without compaction ---------------
+
+
+def test_lsm_read_path_and_compaction_equivalence(spark, tmp_path, small_corpus):
+    """Build a main index from half the corpus, stream the other half as
+    delta segments, and require THREE engines to agree rank-for-rank on
+    the full corpus: the in-memory reference, the DeltaSearchEngine
+    (main ⊎ delta, no compaction), and the post-compaction materialized
+    engine (docs/stats/dfreq refreshed with the postings)."""
+    import math
+
+    from search_engine_core_spark.engine import IndexSearchEngine, SearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        compact_deltas,
+        start_incremental_index,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4).build(
+        base.filter(h == 0)
+    )
+    inbox = tmp_path / "inbox"
+    base.filter(h == 1).write.parquet(f"{inbox}/b1")
+    q = start_incremental_index(spark, f"{inbox}/b*", idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    ref = SearchEngine(small_corpus)
+    queries = ["spark merge", "spark OR merge OR token", "return",
+               '"spark table"', "lang:python spark"]
+    want = {
+        qq: [(r["doc_id"], r["score"]) for r in ref.search(qq, 10).collect()]
+        for qq in queries
+    }
+
+    def check(eng, label):
+        for qq in queries:
+            got = [(r["doc_id"], r["score"]) for r in eng.search(qq, 10).collect()]
+            assert [d for d, _ in got] == [d for d, _ in want[qq]], (label, qq)
+            for (_, gs), (_, ws) in zip(got, want[qq]):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (label, qq, gs, ws)
+
+    check(DeltaSearchEngine(spark, idx, n_buckets=4), "lsm-live")
+    compact_deltas(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4)
+    check(IndexSearchEngine(spark, idx, n_buckets=4), "post-compaction")
+    # deltas are gone after compaction; the LSM engine over the compacted
+    # index (empty level-0) must still agree
+    check(DeltaSearchEngine(spark, idx, n_buckets=4), "lsm-empty-delta")
+    ref.unpersist()
