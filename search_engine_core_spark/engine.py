@@ -40,7 +40,7 @@ class SearchEngine:
         if algorithm == "fielded":
             from search_engine_core_spark.functions.reference_scorer import fielded_topk
 
-            return fielded_topk(self.docs, query, k)
+            return fielded_topk(self.docs, query, k, trip=self.trip)
         return self.planner.topk(query, k, algorithm)
 
     def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
@@ -124,15 +124,28 @@ class IndexSearchEngine:
 
         if algorithm == "fielded":
             # flagship fielded scorer over the index's docs table (needs
-            # content — slim indexes must attach_content() first)
-            from search_engine_core_spark.functions.reference_scorer import fielded_topk
+            # content — slim indexes must attach_content() first);
+            # candidates come from the query tokens' decoded postings so
+            # only the hit set is field-scored (reference shape, and the
+            # scale difference between a pruned scan and a full one)
+            from search_engine_core_spark.functions.reference_scorer import (
+                _extract_query,
+                fielded_topk,
+            )
+            from search_engine_core_spark.functions.tokenizer import tokenize_py
+            from search_engine_core_spark.operators.postings import decode_postings_df
 
             if "content" not in self.reader.docs.columns:
                 raise ValueError(
                     "algorithm='fielded' needs the content column: "
                     "slim index readers must attach_content(corpus) first"
                 )
-            return fielded_topk(self.reader.docs, query, k)
+            terms, phrases = _extract_query(query)
+            toks = list(dict.fromkeys(terms + [t for p in phrases for t in tokenize_py(p)]))
+            trip = (
+                decode_postings_df(self.reader.postings_for_terms(toks)) if toks else None
+            )
+            return fielded_topk(self.reader.docs, query, k, trip=trip)
         ast = QueryParser().parse(query)
         return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
 

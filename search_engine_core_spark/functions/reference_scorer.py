@@ -347,7 +347,8 @@ def score_results(
 
 def fielded_topk(docs: DataFrame, query: str, k: int = 10,
                  cfg: ScoringConfig | None = None,
-                 stats: ReferenceStats | None = None) -> DataFrame:
+                 stats: ReferenceStats | None = None,
+                 trip: DataFrame | None = None) -> DataFrame:
     """X1/X4 wiring for ``search(algorithm="fielded")``: map a code-corpus
     table (doc_id, repo, path, content) onto the reference's web-document
     fields and run the flagship fielded scorer
@@ -359,7 +360,21 @@ def fielded_topk(docs: DataFrame, query: str, k: int = 10,
     Output matches the other algorithms' contract: (doc_id, score),
     deterministic order (score desc, doc_id asc), top-k. The (repo, path)
     pair is unique per document by the input_hint's table shape, so the
-    url join-back is 1:1."""
+    url join-back is 1:1.
+
+    ``trip`` (doc_id, term, tf) restricts scoring to HITS — docs holding
+    at least one query token — which is the reference's actual shape:
+    ``SearchScorer::scoreResults`` runs over the FT.SEARCH result set,
+    never the whole corpus (``SearchScorer.cpp:603-622``). At 100 TB this
+    is the difference between a per-query full-corpus scan and a
+    postings-pruned candidate set; engines pass their triples/decoded
+    postings, callers without an index may omit it (full scan)."""
+    if trip is not None:
+        terms, phrases = _extract_query(query)
+        toks = list(dict.fromkeys(terms + [t for p in phrases for t in tokenize_py(p)]))
+        if toks:
+            cand = trip.filter(F.col("term").isin(toks)).select("doc_id").distinct()
+            docs = docs.join(cand, "doc_id", "left_semi")
     fielded = docs.select(
         F.col("doc_id"),
         F.concat_ws("/", F.coalesce(F.col("repo"), F.lit("")), F.col("path")).alias("url"),

@@ -133,9 +133,30 @@ def test_search_fielded_matches_direct_call(spark, small_corpus):
 
     eng = SearchEngine(small_corpus)
     a = [(r["doc_id"], round(r["score"], 9)) for r in eng.search("config query", 5, algorithm="fielded").collect()]
-    b = [(r["doc_id"], round(r["score"], 9)) for r in fielded_topk(small_corpus, "config query", 5).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in fielded_topk(small_corpus, "config query", 5, trip=eng.trip).collect()]
     assert a == b
+    # hit-set restriction (reference shape): every scored doc holds at
+    # least one query token; the unrestricted scan may only ADD
+    # zero-match docs, never change the hits' scores
+    c = [(r["doc_id"], round(r["score"], 9)) for r in fielded_topk(small_corpus, "config query", 50).collect()]
+    assert set(a) <= set(c)
     eng.unpersist()
+
+
+def test_search_fielded_on_materialized_index(spark, small_corpus, tmp_path):
+    from search_engine_core_spark.engine import IndexSearchEngine, SearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+
+    idx = str(tmp_path / "fidx")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4).build(
+        small_corpus.select("repo", "path", "commit", "lang", "content")
+    )
+    mem = SearchEngine(small_corpus)
+    ie = IndexSearchEngine(spark, idx, n_buckets=4)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in mem.search("spark merge", 5, algorithm="fielded").collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in ie.search("spark merge", 5, algorithm="fielded").collect()]
+    assert a == b
+    mem.unpersist()
 
 
 # ---- parameterized session gap ------------------------------------------
