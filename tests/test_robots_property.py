@@ -117,7 +117,7 @@ def crawl_delay_py(rules, agent: str = "*", default_ms: int = 1000):
 
 # ---- properties ----------------------------------------------------------
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(
     bodies=st.lists(body_st, min_size=1, max_size=4),
     paths=st.lists(path_st, min_size=1, max_size=4),
@@ -143,7 +143,7 @@ def test_is_allowed_matches_python_twin(spark, bodies, paths, agent):
             assert got[f"https://{d}{p}"] == want, (d, body, p, agent)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(bodies=st.lists(body_st, min_size=1, max_size=4), agent=st.sampled_from(AGENTS))
 def test_crawl_delay_matches_python_twin(spark, bodies, agent):
     domains = [f"d{i}.com" for i in range(len(bodies))]
