@@ -92,7 +92,17 @@ def main() -> None:
     p95 = lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))]
 
     # -- driver-table queries ---------------------------------------------
-    from search_engine_core_spark.entry_queries import build_queries
+    from search_engine_core_spark.entry_queries import _engine, build_queries
+
+    # warm the per-sf in-memory engine caches once and report it as its
+    # own line: cache materialization is index-open cost (the twin of the
+    # IndexBuilder step the search_/wand legs already got), not the
+    # per-query latency q01 is meant to measure
+    t0 = time.monotonic()
+    eng01 = _engine(spark, sf_dir)
+    for df in (eng01.docs, eng01.trip, eng01.dfreq):
+        df.count()
+    timings["engine_open"] = round(time.monotonic() - t0, 3)
 
     qs = build_queries()
     for name in ["q01_bm25_or_topk", "q26_cosine_bruteforce_topk", "q33_lineitem_rollup"]:
