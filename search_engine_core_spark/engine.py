@@ -147,7 +147,40 @@ class IndexSearchEngine:
             )
             return fielded_topk(self.reader.docs, query, k, trip=trip)
         ast = QueryParser().parse(query)
+        mode = self._wand_mode(ast)
+        if algorithm == "bm25" and mode is not None:
+            # pure term-only AND/OR shapes route through block-max WAND:
+            # rank-identical by construction (test-pinned) and cheaper —
+            # only the rarest term ever fully decodes. Mixed precedence,
+            # phrases, filters and non-bm25 scorers stay on the general
+            # planner.
+            return self.wand.topk(scoring_terms(ast), k, mode=mode)
         return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
+
+    @staticmethod
+    def _wand_mode(ast) -> str | None:
+        """'AND' / 'OR' for pure plain-term conjunctions/disjunctions
+        (the shapes whose DSL semantics WAND reproduces exactly), else
+        None."""
+        from search_engine_core_spark.functions.tokenizer import tokenize_py
+        from search_engine_core_spark.plans.query_parser import And, Or, Term
+
+        def plain(n) -> bool:
+            return isinstance(n, Term) and not n.exact
+
+        if plain(ast):
+            return "AND"  # single term: all its tokens required (planner F4)
+        if isinstance(ast, And) and all(plain(c) for c in ast.children):
+            # flattened token-AND == conjunction of per-child token-ANDs
+            return "AND"
+        if isinstance(ast, Or) and all(
+            plain(c) and len(tokenize_py(c.value)) == 1 for c in ast.children
+        ):
+            # token-OR == DSL OR only when each child is ONE token — a
+            # multi-token child means "all of them", which a flat OR
+            # would weaken to "any"
+            return "OR"
+        return None
 
     def search_wand(self, query: str, k: int = 10) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical

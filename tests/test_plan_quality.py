@@ -41,9 +41,26 @@ def test_docs_scan_prunes_columns(idx):
 
 
 def test_df_stats_join_is_broadcast(idx):
-    df = idx.search("spark merge", 5)
+    # a field-filtered query stays on the general planner (pure term
+    # shapes auto-route to WAND since r3, whose eager top-k plan has no
+    # join to inspect); the J2 broadcast property belongs to the planner
+    df = idx.search("lang:python spark", 5)
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pure_term_queries_route_to_wand(idx):
+    from search_engine_core_spark.plans.query_parser import QueryParser
+
+    m = idx._wand_mode
+    p = QueryParser().parse
+    assert m(p("spark merge")) == "AND"
+    assert m(p("spark AND merge")) == "AND"
+    assert m(p("spark")) == "AND"
+    assert m(p("spark OR merge OR token")) == "OR"
+    assert m(p("spark AND merge OR token")) is None  # mixed precedence
+    assert m(p('"spark table"')) is None  # phrase
+    assert m(p("lang:python spark")) is None  # filter
 
 
 def test_scoring_runs_in_wholestage_codegen(spark, small_corpus):
