@@ -771,6 +771,65 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q53_url_normalize"] = q53
 
+    # q54 constants: chosen so OPEN, HALF_OPEN, rate-limited and
+    # delay-blocked domains ALL occur at every sf — the events-derived log
+    # alone may lack >=5 trailing failures locally (the r2 q40 blind
+    # spot), so deterministic literal rows force each state.
+    _Q54_NOW, _Q54_RESET, _Q54_RATE = 50_000_000, 20_000_000, 10_000_000
+    _Q54_EXTRA = (
+        [("open.com", 40_000_000 + i, 200) for i in range(10)]
+        + [("open.com", 49_000_000 + i, 500) for i in range(6)]
+        + [("half.com", 25_000_000 + i, 500) for i in range(6)]
+        + [("rl.com", 45_000_000, 429)]
+        + [("slow.com", 49_999_900, 200)]
+    )
+
+    def q54(spark, sf_dir):  # T4/T5/O5 E2E: polite claim order under all states
+        from search_engine_core_spark.streaming.frontier import (
+            claim_order_polite,
+            domain_states,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        log = ev.select(
+            F.concat(F.lit("host"), F.col("user_id") % 7, F.lit(".com")).alias("domain"),
+            (F.col("event_id") * 1000).alias("ts"),
+            F.when(F.col("event_type") == "error", 500)
+            .when(F.col("event_type") == "purchase", 429)
+            .otherwise(200)
+            .alias("status"),
+        ).unionByName(
+            spark.createDataFrame(_Q54_EXTRA, "domain string, ts long, status int")
+        )
+        states = domain_states(
+            log,
+            now_ms=_Q54_NOW,
+            politeness_ms=500,
+            failure_threshold=5,
+            reset_ms=_Q54_RESET,
+            rate_limit_ms=_Q54_RATE,
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 1500)
+        dom = (
+            F.when(F.col("o_custkey") % 12 == 7, F.lit("open.com"))
+            .when(F.col("o_custkey") % 12 == 8, F.lit("half.com"))
+            .when(F.col("o_custkey") % 12 == 9, F.lit("rl.com"))
+            .when(F.col("o_custkey") % 12 == 10, F.lit("slow.com"))
+            .when(F.col("o_custkey") % 12 == 11, F.lit("new.com"))
+            .otherwise(F.concat(F.lit("host"), F.col("o_custkey") % 7, F.lit(".com")))
+        )
+        tasks = o.select(
+            F.concat(F.lit("https://"), dom, F.lit("/t"), F.col("o_orderkey")).alias("url"),
+            (F.col("o_orderkey") % 7).cast("int").alias("priority"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(_Q54_NOW + 1000))
+            .otherwise(F.lit(_Q54_NOW) - (F.col("o_orderkey") % 1000) - 1)
+            .cast("long")
+            .alias("ready_at"),
+        )
+        return claim_order_polite(tasks, states, _Q54_NOW, batch_size=30)
+
+    q["q54_polite_claim"] = q54
+
     return q
 
 
@@ -1484,5 +1543,108 @@ SELECT id, norm,
             THEN '/'
             ELSE regexp_extract(norm, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?]*)', 1) END AS path
 FROM n2
+"""
+    # q54: full DomainManager gating pipeline in SQL — circuit state with
+    # a correctly-ranked threshold-crossing failure (nulls never occupy
+    # ranks, the r2 q40 bug class), rate-limit window, dynamic delay
+    # (floor matches Spark's long cast), HALF_OPEN single-probe
+    # admission, priority claim order. Literal log rows identical to the
+    # Spark side's _Q54_EXTRA.
+    _q54_extra = (
+        [("open.com", 40_000_000 + i, 200) for i in range(10)]
+        + [("open.com", 49_000_000 + i, 500) for i in range(6)]
+        + [("half.com", 25_000_000 + i, 500) for i in range(6)]
+        + [("rl.com", 45_000_000, 429)]
+        + [("slow.com", 49_999_900, 200)]
+    )
+    _vals = ", ".join(f"('{d}', {t}, {s})" for d, t, s in _q54_extra)
+    o["q54_polite_claim"] = f"""
+WITH log AS (
+  SELECT 'host' || (user_id % 7) || '.com' AS domain,
+         event_id * 1000 AS ts,
+         CASE WHEN event_type = 'error' THEN 500
+              WHEN event_type = 'purchase' THEN 429
+              ELSE 200 END AS status
+  FROM events
+  UNION ALL
+  SELECT * FROM (VALUES {_vals}) v(domain, ts, status)),
+en AS (
+  SELECT domain, ts, status,
+         (status >= 200 AND status < 300) AS ok,
+         max(CASE WHEN status >= 200 AND status < 300 THEN ts END)
+           OVER (PARTITION BY domain) AS last_success
+  FROM log),
+fails AS (
+  SELECT domain, ts FROM en
+  WHERE NOT ok AND (last_success IS NULL OR ts > last_success)),
+ranked AS (
+  SELECT domain, ts, row_number() OVER (PARTITION BY domain ORDER BY ts) AS rn
+  FROM fails),
+fagg AS (SELECT domain, count(*) AS consec FROM fails GROUP BY domain),
+opened AS (
+  SELECT domain, max(CASE WHEN rn = 5 THEN ts END) AS opened_at
+  FROM ranked GROUP BY domain),
+lastfail AS (
+  SELECT domain, arg_max(status, ts) AS last_fail_status
+  FROM en WHERE NOT ok GROUP BY domain),
+agg AS (
+  SELECT domain, max(ts) AS last_request,
+         max(CASE WHEN status = 429 THEN ts END) AS last_429
+  FROM en GROUP BY domain),
+st AS (
+  SELECT a.domain, a.last_request,
+         CASE WHEN o2.opened_at IS NOT NULL AND 50000000 < o2.opened_at + 20000000
+                THEN 'OPEN'
+              WHEN o2.opened_at IS NOT NULL THEN 'HALF_OPEN'
+              ELSE 'CLOSED' END AS circuit_state,
+         (a.last_429 IS NOT NULL AND 50000000 < a.last_429 + 10000000) AS rate_limited,
+         CASE WHEN coalesce(f.consec, 0) > 0
+              THEN floor(least(
+                     500.0 * power(1.5, least(f.consec, 10))
+                          * (CASE WHEN l.last_fail_status = 429 THEN 2.0
+                                  WHEN l.last_fail_status NOT IN (400,401,403,404,405,406,410,414,451)
+                                    THEN 1.5 ELSE 1.0 END),
+                     300000.0))::BIGINT
+              ELSE 500 END AS delay
+  FROM agg a
+  LEFT JOIN fagg f USING (domain)
+  LEFT JOIN opened o2 USING (domain)
+  LEFT JOIN lastfail l USING (domain)),
+tasks AS (
+  SELECT 'https://' || dom || '/t' || o_orderkey AS url,
+         (o_orderkey % 7)::INTEGER AS priority,
+         (CASE WHEN o_orderkey % 5 = 0 THEN 50001000
+               ELSE 50000000 - (o_orderkey % 1000) - 1 END)::BIGINT AS ready_at,
+         dom
+  FROM (
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 12 = 7 THEN 'open.com'
+                WHEN o_custkey % 12 = 8 THEN 'half.com'
+                WHEN o_custkey % 12 = 9 THEN 'rl.com'
+                WHEN o_custkey % 12 = 10 THEN 'slow.com'
+                WHEN o_custkey % 12 = 11 THEN 'new.com'
+                ELSE 'host' || (o_custkey % 7) || '.com' END AS dom
+    FROM orders WHERE o_orderkey < 1500)),
+ready AS (
+  SELECT t.url, t.priority, t.ready_at, t.dom, s.circuit_state
+  FROM tasks t LEFT JOIN st s ON s.domain = t.dom
+  WHERE NOT coalesce(
+    s.circuit_state = 'OPEN' OR s.rate_limited
+      OR 50000000 < s.last_request + s.delay, FALSE)),
+probes AS (
+  SELECT url, priority, ready_at FROM (
+    SELECT url, priority, ready_at,
+           row_number() OVER (PARTITION BY dom
+             ORDER BY priority DESC, ready_at ASC, url ASC) AS prn
+    FROM ready WHERE circuit_state = 'HALF_OPEN' AND ready_at <= 50000000)
+  WHERE prn = 1),
+rest AS (
+  SELECT url, priority, ready_at FROM ready
+  WHERE circuit_state IS NULL OR circuit_state <> 'HALF_OPEN')
+SELECT url, priority, ready_at
+FROM (SELECT * FROM rest UNION ALL SELECT * FROM probes)
+WHERE ready_at <= 50000000
+ORDER BY priority DESC, ready_at ASC, url ASC
+LIMIT 30
 """
     return o
