@@ -569,7 +569,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "circuit_state",
             "rate_limited",
             "dynamic_delay_ms",
-        )
+        ).orderBy("domain")
 
     q["q40_domain_health"] = q40
 
@@ -1289,12 +1289,17 @@ fails AS (
 fagg AS (
   SELECT domain, count(*) AS consec FROM fails GROUP BY domain),
 lastfail AS (
-  SELECT domain, arg_max(status, ts) AS last_fail_status
+  -- (ts, status) composite key = deterministic tiebreak on duplicate ts,
+  -- mirroring the Spark side's max_by(status, ts*1000+status)
+  SELECT domain, arg_max(status, ts * 1000 + status) AS last_fail_status
   FROM en WHERE NOT ok GROUP BY domain),
 agg AS (
   SELECT domain,
          count(*) AS total_requests,
-         sum(CASE WHEN ok THEN 1 ELSE 0 END) AS successful_requests,
+         -- ::BIGINT: un-cast integer sum() is HUGEINT in DuckDB, which
+         -- pandas renders as float64 (3.0 vs Spark's int64 3) — the r3
+         -- driver hash_match=false on q40 while rows/schema matched
+         sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS successful_requests,
          max(CASE WHEN status = 429 THEN ts END) AS last_429
   FROM en GROUP BY domain)
 SELECT a.domain,
@@ -1312,6 +1317,7 @@ SELECT a.domain,
                    300000.0))::BIGINT
             ELSE 500 END AS dynamic_delay_ms
 FROM agg a LEFT JOIN fagg f USING (domain) LEFT JOIN lastfail l USING (domain)
+ORDER BY domain
 """
     o["q41_claim_order"] = """
 SELECT url, priority, ready_at FROM (
@@ -1585,7 +1591,7 @@ opened AS (
   SELECT domain, max(CASE WHEN rn = 5 THEN ts END) AS opened_at
   FROM ranked GROUP BY domain),
 lastfail AS (
-  SELECT domain, arg_max(status, ts) AS last_fail_status
+  SELECT domain, arg_max(status, ts * 1000 + status) AS last_fail_status
   FROM en WHERE NOT ok GROUP BY domain),
 agg AS (
   SELECT domain, max(ts) AS last_request,

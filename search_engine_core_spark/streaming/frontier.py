@@ -205,7 +205,14 @@ def domain_states(
         ),
         F.max("ts").alias("last_request"),
         F.max(F.when(F.col("status") == RATE_LIMITED_HTTP, F.col("ts"))).alias("last_429"),
-        F.max_by(F.col("status"), F.when(~ok, F.col("ts"))).alias("_last_fail_status"),
+        # deterministic tiebreak when two failures share the max ts: order by
+        # (ts, status) via a scalar composite key (status < 1000, so
+        # ts*1000+status is lexicographic). Without it max_by is
+        # engine/partition-order dependent on duplicate-(domain, ts) logs,
+        # which flips the 2.0x/1.5x delay multiplier (r3 driver q40 red).
+        F.max_by(
+            F.col("status"), F.when(~ok, F.col("ts") * 1000 + F.col("status"))
+        ).alias("_last_fail_status"),
     )
     open_ = F.col("circuit_opened_at").isNotNull() & (
         F.lit(now_ms) < F.col("circuit_opened_at") + reset_ms

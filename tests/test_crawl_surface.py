@@ -298,6 +298,28 @@ class TestDomainHealth:
         # two temporary failures: 500 * 1.5^2 * 1.5 = 1687
         assert st["slow.com"]["dynamic_delay_ms"] == 1687
 
+    def test_last_fail_status_tiebreak_deterministic(self, spark):
+        """Duplicate (domain, ts) failure rows with differing statuses:
+        without a composite (ts, status) max_by key the last-fail status —
+        and with it the 2.0x/1.5x delay multiplier — is partition-order
+        dependent (r3 q40 driver divergence class). The deterministic rule
+        is max status at the max failure ts: here 503 (TEMPORARY, x1.5)
+        beats the tied 429 (RATE_LIMITED, x2.0)."""
+        now = self.NOW
+        t = now - 2_000
+        rows = [
+            ("tie.com", t - 100, 500),
+            ("tie.com", t, 429),
+            ("tie.com", t, 503),
+        ]
+        # repartition wide so any partition-order nondeterminism would show
+        log = self._log(spark, rows).repartition(8)
+        for _ in range(3):
+            st = frontier.domain_states(log, now).collect()[0]
+            assert st["consecutive_failures"] == 3
+            # 500 * 1.5^3 * 1.5 (TEMPORARY via the 503 tiebreak winner)
+            assert st["dynamic_delay_ms"] == 2531
+
     def test_claim_order_polite_blocks(self, spark):
         now = self.NOW
         log = self._log(

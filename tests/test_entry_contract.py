@@ -74,6 +74,19 @@ def test_every_query_has_oracle_or_is_flagged():
     assert not missing, f"queries without oracle SQL: {missing}"
 
 
+def test_oracle_dtypes_survive_pandas(duck):
+    """The driver compares results via pandas, where DuckDB HUGEINT (the
+    type of an un-cast integer ``sum()``) becomes float64 — ``3.0`` vs
+    Spark's int64 ``3`` — so the value hash diverges while rows/schema
+    stay green (the r3 q40 red row; ``fetchall()`` harnesses can't see
+    it). DESCRIBE every oracle and ban pandas-lossy numeric output types."""
+    lossy = ("HUGEINT", "UHUGEINT")
+    for name, sql in entry.oracle_sql().items():
+        desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if t in lossy or t.startswith("DECIMAL")]
+        assert not bad, f"{name}: pandas-lossy oracle output types {bad}"
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_oracle_parity_subset(spark, duck, name):
     qs, os_ = entry.queries(), entry.oracle_sql()
