@@ -215,46 +215,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q14_keywords_top3"] = q14
 
-    def q15(spark, sf_dir):
+    # q15/q18 are consolidated multi-operator rows: the correctness driver
+    # validates at most 50 queries() entries, so A6 word/token counts share
+    # one row and F18 quality + lang-id + fingerprint share another —
+    # freeing slots that keep q51-q54 inside the validated window (r3
+    # VERDICT "What's missing" #1).
+    def q15(spark, sf_dir):  # A6 + token count (BPE-ish regex) in one row
         d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-        return d.select("doc_id", tq.word_count(F.col("text")).cast("long").alias("word_cnt"))
+        return d.select(
+            "doc_id",
+            tq.word_count(F.col("text")).cast("long").alias("word_cnt"),
+            tq.token_count(F.col("text")).cast("long").alias("token_cnt"),
+        )
 
-    q["q15_word_count"] = q15
+    q["q15_word_token_counts"] = q15
 
-    def q16(spark, sf_dir):
-        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-        return d.select("doc_id", tq.token_count(F.col("text")).cast("long").alias("token_cnt"))
-
-    q["q16_token_count"] = q16
-
-    def q17(spark, sf_dir):
-        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 10)
-        snippet = F.when(
-            F.length("text") > 200, F.concat(F.substring("text", 1, 200), F.lit("..."))
-        ).otherwise(F.col("text"))
-        return d.select("doc_id", snippet.alias("snippet"))
-
-    q["q17_snippet"] = q17
-
-    def q18(spark, sf_dir):
+    def q18(spark, sf_dir):  # F18 quality + lang-id + rolling fingerprint
         d = _docs(spark, sf_dir)
         return d.select(
             "doc_id",
             tq.quality_score(F.col("text")).alias("quality"),
             F.round(tq.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+            tq.lang_id(F.col("text")).alias("lang_pred"),
+            tq.fingerprint(F.col("text")).alias("fp"),
         )
 
-    q["q18_quality_score"] = q18
-
-    def q19(spark, sf_dir):
-        return _docs(spark, sf_dir).select("doc_id", tq.lang_id(F.col("text")).alias("lang_pred"))
-
-    q["q19_lang_id"] = q19
-
-    def q20(spark, sf_dir):
-        return _docs(spark, sf_dir).select("doc_id", tq.fingerprint(F.col("text")).alias("fp"))
-
-    q["q20_fingerprint"] = q20
+    q["q18_text_profile"] = q18
 
     # --- deduplication ---
     def q21(spark, sf_dir):  # exact-dup groups on 5-token prefix
@@ -457,6 +443,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 "doc_id",
                 "score",
+                # raw truncation (O6) and the <b>-highlighted variant in one
+                # row — absorbs the former q17_snippet (50-query cap)
+                snippet.alias("raw_snippet"),
                 highlight_expr(snippet, ["spark", "merge"]).alias("snippet"),
             )
         )
@@ -932,21 +921,14 @@ ranked AS (
   FROM counted)
 SELECT doc_id, word, cnt, rank FROM ranked WHERE rank <= 3
 """
-    o["q15_word_count"] = r"""
+    o["q15_word_token_counts"] = rf"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_cnt
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS word_cnt,
+       len({TOKS}) AS token_cnt
 FROM documents WHERE doc_id < 20
 """
-    o["q16_token_count"] = f"""
-SELECT doc_id, len({TOKS}) AS token_cnt FROM documents WHERE doc_id < 20
-"""
-    o["q17_snippet"] = """
-SELECT doc_id,
-       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...' ELSE text END AS snippet
-FROM documents WHERE doc_id < 10
-"""
-    o["q18_quality_score"] = rf"""
+    o["q18_text_profile"] = rf"""
 WITH base AS (
   SELECT doc_id, text, {TOKS} AS toks,
          least(1.0, length(text)::DOUBLE / 10000.0) AS cq,
@@ -961,29 +943,20 @@ SELECT doc_id, round(cq * (1.0 - pr), 4) AS quality,
                'one','our','out','day','get','has','him','his','how','its','may','new',
                'now','old','see','two','who','boy','did','she','use','man','way')))::DOUBLE
                   / len(toks)
-             ELSE 0.0 END, 4) AS stopword_ratio
-FROM base
-"""
-    o["q19_lang_id"] = f"""
-WITH base AS (
-  SELECT doc_id, {TOKS} AS toks FROM documents),
-hits AS (
-  SELECT doc_id,
+             ELSE 0.0 END, 4) AS stopword_ratio,
+       CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END AS lang_pred,
+       sha256(array_to_string(toks, ' ')) AS fp
+FROM (
+  SELECT *,
     len(list_filter(toks, t -> t IN ('the','and','is','of','to','in'))) AS h_en,
     len(list_filter(toks, t -> t IN ('el','la','de','que','los','una'))) AS h_es,
     len(list_filter(toks, t -> t IN ('le','la','les','des','est','une'))) AS h_fr,
     len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS h_de
   FROM base)
-SELECT doc_id,
-  CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
-       WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
-       WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
-       WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
-       ELSE 'de' END AS lang_pred
-FROM hits
-"""
-    o["q20_fingerprint"] = f"""
-SELECT doc_id, sha256(array_to_string({TOKS}, ' ')) AS fp FROM documents
 """
     o["q21_dedup_prefix_groups"] = f"""
 WITH fps AS (
@@ -1226,6 +1199,8 @@ FROM scored
     o["q37_highlight"] = f"""
 WITH hits AS ({_hits37})
 SELECT h.doc_id, h.score,
+       CASE WHEN length(d.text) > 200 THEN substr(d.text, 1, 200) || '...' ELSE d.text END
+         AS raw_snippet,
        regexp_replace(
          CASE WHEN length(d.text) > 200 THEN substr(d.text, 1, 200) || '...' ELSE d.text END,
          '(?i)\\b(merge|spark)\\b', '<b>\\1</b>', 'g') AS snippet

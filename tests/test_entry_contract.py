@@ -26,7 +26,8 @@ SUBSET = [
     "q05_bm25_phrase",
     "q11_term_df_top20",
     "q14_keywords_top3",
-    "q19_lang_id",
+    "q15_word_token_counts",
+    "q18_text_profile",
     "q22_minhash_signature",
     "q24_simhash",
     "q26_cosine_bruteforce_topk",
