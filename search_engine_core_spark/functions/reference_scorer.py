@@ -324,7 +324,12 @@ def score_results(
         boost = boost + F.when(title_has_term, F.lit(cfg.title_match_boost)).otherwise(F.lit(0.0))
     total = total * (1.0 + boost)
 
+    # doc_id passthrough: a caller that carries its own key avoids joining
+    # back on url, which is not injective (repo='org', path='repo/x.py'
+    # collides with repo='org/repo', path='x.py')
+    id_cols = ["doc_id"] if "doc_id" in docs.columns else []
     scored = docs.select(
+        *id_cols,
         "url",
         total.alias("score"),
         title_s.alias("title_score"),
@@ -358,9 +363,9 @@ def fielded_topk(docs: DataFrame, query: str, k: int = 10,
       description := ""      domain := repo      base score := 0
 
     Output matches the other algorithms' contract: (doc_id, score),
-    deterministic order (score desc, doc_id asc), top-k. The (repo, path)
-    pair is unique per document by the input_hint's table shape, so the
-    url join-back is 1:1.
+    deterministic order (score desc, doc_id asc), top-k. doc_id rides
+    through :func:`score_results` directly — no url join-back, whose
+    slash-joined key is not injective across (repo, path) splits.
 
     ``trip`` (doc_id, term, tf) restricts scoring to HITS — docs holding
     at least one query token — which is the reference's actual shape:
@@ -384,10 +389,9 @@ def fielded_topk(docs: DataFrame, query: str, k: int = 10,
         F.coalesce(F.col("repo"), F.lit("")).alias("domain"),
         F.lit(0.0).alias("score"),
     )
-    scored = score_results(fielded.drop("doc_id"), query, cfg, stats)
+    scored = score_results(fielded, query, cfg, stats)
     return (
-        scored.join(fielded.select("doc_id", "url"), "url", "inner")
-        .select("doc_id", "score")
+        scored.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

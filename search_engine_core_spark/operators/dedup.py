@@ -267,30 +267,63 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     block_col=None,
+    lsh_above: int | None = 10_000,
+    n_perm: int = 128,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (U3 math,
-    ``SearchScorer.cpp:649-666``). A blocking key bounds the self-join —
-    default: token-count bucket (near-dups have near-equal lengths); at
-    scale, feed LSH candidates instead of blocking."""
+    ``SearchScorer.cpp:649-666``).
+
+    Candidate generation (what bounds the self-join):
+
+    * explicit ``block_col`` — caller-provided blocking key;
+    * else, small inputs (≤ ``lsh_above`` rows): token-count bucket
+      (near-dups have near-equal lengths). This is quadratic WITHIN a
+      band, which a uniform-length corpus (e.g. truncated docs) turns
+      into one O(B²) reducer — hence:
+    * else (the default at scale): MinHash-LSH candidates
+      (``n_perm`` hashes, ``max_bucket`` fan-out cap) verified exactly —
+      two equi-joins on doc_id, never an all-pairs join. Recall at the
+      0.8 threshold with 128 perms / 32 bands of 4: ≈ 1-(1-0.8⁴)³² > 0.999.
+
+    Pass ``lsh_above=None`` to force length-blocking regardless of size.
+    """
     base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles_expr(F.col(text_col))).alias("sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.round(inter.cast("double") / uni, 4)
+    if block_col is None and lsh_above is not None and docs.count() > lsh_above:
+        cand = minhash_lsh_pairs(
+            docs, text_col, id_col, n_perm=n_perm, max_bucket=max_bucket
+        )
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            cand.join(a, cand.doc_a == F.col("a.doc_id"))
+            .join(b, cand.doc_b == F.col("b.doc_id"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    blocked = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles_expr(F.col(text_col))).alias("sh"),
         (
             block_col
             if block_col is not None
+            # token-count length band (near-dups have near-equal lengths)
             else F.floor(F.size(tokenize_expr(F.col(text_col))) / 20)
         ).alias("blk"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, "blk")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+            jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

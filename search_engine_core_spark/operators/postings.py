@@ -541,6 +541,9 @@ def decode_postings_for_docs(postings: DataFrame, target_ids) -> DataFrame:
 
     def gen(batches):
         targets = target_ids.value if is_bc else targets_local
+        if targets.size == 0:
+            return  # empty target set: nothing to decode (and the
+            # targets[pos-1] membership probe below would IndexError)
         for pdf in batches:
             # block intersects targets iff a target falls in [first, last]
             out = decode_masked_batch(

@@ -116,6 +116,8 @@ def decode_score_for_docs(
         from search_engine_core_spark.operators.postings import decode_masked_batch
 
         targets, dls = bc_pairs.value
+        if targets.size == 0:
+            return  # empty seed set: the membership probe would IndexError
         for pdf in batches:
             out = decode_masked_batch(
                 pdf,
@@ -160,15 +162,12 @@ class WandTopK:
         self,
         trip: DataFrame,
         term_stats: dict[str, tuple[int, int]],
-        require_n_terms: int | None = None,
     ) -> DataFrame:
         """(doc_id, term, tf) restricted to query terms -> (doc_id, score).
 
-        ``require_n_terms`` folds AND-candidate selection into the SAME
-        aggregation: a doc qualifies iff it holds that many query terms,
-        so the term-count rides the score groupBy for free — no separate
-        count pass + semi-join re-decoding the postings (the r2 wand_1
-        regression was exactly that extra job chain)."""
+        AND-candidate selection happens upstream (seed_agg folds the
+        term-count into the fused decode+score aggregation); this helper
+        only sums BM25 partials for an already-selected doc set."""
         n, avgdl = self.stats.n_docs, self.stats.avgdl
         df_map = F.create_map(
             *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
@@ -194,15 +193,15 @@ class WandTopK:
                 ),
             )
         )
-        agg = per.groupBy("doc_id").agg(
-            F.sum("ts").alias("score"), F.count(F.lit(1)).alias("_nt")
-        )
-        if require_n_terms is not None:
-            agg = agg.filter(F.col("_nt") == require_n_terms)
-        return agg.select("doc_id", "score")
+        return per.groupBy("doc_id").agg(F.sum("ts").alias("score"))
 
     def topk(
-        self, terms: list[str], k: int = 10, mode: str = "OR", seed_cap: int = 200_000
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "OR",
+        seed_cap: int = 200_000,
+        survivor_cap: int | None = None,
     ) -> DataFrame:
         """terms must be canonical tokens. Returns (doc_id, score) top-k.
 
@@ -214,7 +213,14 @@ class WandTopK:
         metadata. Hot terms with df≈N are never materialized, which is what
         kept the old eager ``decode_postings_df(postings)`` from scaling.
         ``seed_cap`` guards the driver-side seed-id collect; above it we
-        degrade to the distributed full-decode path (correct, slower)."""
+        degrade to the distributed full-decode path (correct, slower).
+        ``survivor_cap`` (default: seed_cap) applies the same guard to the
+        pass-2 survivor-id collect: a weakly-discriminative OR query (low
+        θ, all terms mid-frequency) can pass millions of ids through an
+        unguarded collect, so above the cap we fall back to the same
+        distributed full decode — exact scoring of θ-pruned triples alone
+        would NOT be rank-identical, since a survivor's pruned blocks may
+        hide part of its true score."""
         spark = self.reader.spark
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
@@ -345,10 +351,16 @@ class WandTopK:
         # survivors = pruned docs not already seeded
         others_ub = {t: sum(u for t2, u in ubs.items() if t2 != t) for t in ubs}
         pruned_trip = decode_pruned(rest_post, others_ub, idfs, theta)
-        pruned_ids = np.array(
-            [r["doc_id"] for r in pruned_trip.select("doc_id").distinct().collect()],
-            dtype=np.int64,
+        # bounded collect: at most cap+1 rows ever reach the driver; the
+        # sentinel row detects overflow without materializing the full set
+        cap = seed_cap if survivor_cap is None else survivor_cap
+        surv_rows = (
+            pruned_trip.select("doc_id").distinct().limit(cap + 1).collect()
         )
+        if len(surv_rows) > cap:
+            rows = self._topk_full_decode(postings, term_stats, present, k, mode)
+            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+        pruned_ids = np.array([r["doc_id"] for r in surv_rows], dtype=np.int64)
         extra_ids = np.setdiff1d(pruned_ids, rare_ids)
         if extra_ids.size == 0:
             return (

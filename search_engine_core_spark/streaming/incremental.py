@@ -288,8 +288,17 @@ def compact_deltas(
     # or post-compaction readers score against a corpus that no longer
     # contains the delta docs (stale N/avgdl, missing doclens) — the
     # compacted index must be indistinguishable from a fresh batch build
+    # only a MISSING delta_docs dir (triples-only stream) is tolerable;
+    # write/rmtree/move failures must propagate — postings are already
+    # rewritten, and swallowing them would leave docs/stats inconsistent
+    # with the compacted postings
+    from pyspark.errors import AnalysisException
+
     try:
         ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
+    except AnalysisException:
+        ddocs = None  # no delta_docs: docs table unchanged
+    if ddocs is not None:
         latest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
         ddocs = (
             ddocs.dropDuplicates(["doc_id", "batch_id"])
@@ -307,8 +316,6 @@ def compact_deltas(
         new_docs.write.mode("overwrite").parquet(dtmp)
         shutil.rmtree(f"{index_dir}/docs")
         shutil.move(dtmp, f"{index_dir}/docs")
-    except Exception:
-        pass  # no delta_docs (triples-only stream): docs table unchanged
     docs_now = spark.read.parquet(f"{index_dir}/docs")
     stats_df = docs_now.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")

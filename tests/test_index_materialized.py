@@ -147,3 +147,23 @@ def test_wand_matches_naive(engines, query):
     assert [d for d, _ in got] == [d for d, _ in want], query
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+@pytest.mark.parametrize("terms", [["spark", "merge", "token"], ["merge", "data", "value"]])
+def test_wand_survivor_cap_overflow_rank_identical(engines, terms):
+    """Adversarial shape for the r3 unbounded pass-2 collect: an OR query
+    over mid-frequency terms where θ prunes weakly. survivor_cap=0 forces
+    the overflow branch (any survivor trips the sentinel), which must fall
+    back to the distributed full decode and stay rank-identical — pruned
+    triples alone may under-score a survivor whose other-term blocks were
+    θ-pruned."""
+    mem, idx = engines
+    query = " OR ".join(terms)
+    want = [(r["doc_id"], r["score"]) for r in mem.search(query, 10).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.wand.topk(terms, 10, mode="OR", survivor_cap=0).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9)

@@ -89,6 +89,23 @@ def test_decode_postings_for_docs_matches_filtered_full_decode(spark, small_corp
         .collect()
     }
     assert got == want and got
+    # empty target set must yield an empty frame, not IndexError from the
+    # membership probe (ADVICE r3: targets[min(pos, -1)] on an empty array)
+    empty = np.array([], dtype=np.int64)
+    assert decode_postings_for_docs(postings, empty).count() == 0
+
+
+def test_decode_score_for_docs_empty_targets(spark, small_corpus):
+    from search_engine_core_spark.operators.postings import build_postings
+    from search_engine_core_spark.operators.stats import doc_frequency, triples
+    from search_engine_core_spark.operators.topk import decode_score_for_docs
+
+    trip = triples(small_corpus)
+    postings = build_postings(trip, doc_frequency(trip), hot_df_threshold=50, n_shards=4)
+    bc = spark.sparkContext.broadcast(
+        (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    )
+    assert decode_score_for_docs(postings, bc, {"spark": 1.0}, 10.0).count() == 0
 
 
 # ------------------------------------------------- algorithm switch (X1/X4)
