@@ -62,3 +62,118 @@ class TestNgramJaccardLshDefault:
             for r in dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
         }
         assert got == {(3, 99)}
+
+
+# ----------------------------------------------- materialized ANN index
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(map(float, emb.filter(F.col("vec_id") == 0).first()["embedding"]))
+
+
+@pytest.fixture(scope="module")
+def emb_index(spark, emb, tmp_path_factory):
+    from search_engine_core_spark.sources.embedding_index import (
+        EmbeddingIndex,
+        EmbeddingIndexBuilder,
+    )
+
+    d = str(tmp_path_factory.mktemp("embidx") / "e")
+    EmbeddingIndexBuilder(
+        spark,
+        d,
+        n_bits=8,
+        seed=42,
+        centroid_ids=list(range(1, 17)),
+    ).build(emb.filter(F.col("vec_id") != 0))
+    return EmbeddingIndex(spark, d)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestEmbeddingIndex:
+    def test_ann_matches_adhoc_operator(self, emb, emb_index, qvec):
+        """The materialized layout must answer EXACTLY what the per-query
+        full-scan operator answers (same planes seed, same rounding, same
+        probe ring)."""
+        from search_engine_core_spark.operators import similarity
+
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.ann_hyperplane_topk(
+                emb.filter(F.col("vec_id") != 0), qvec, 10, n_bits=8, n_probe=9, seed=42
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in emb_index.ann_topk(qvec, 10, n_probe=9).collect()
+        ]
+        assert got == want and len(got) == 10
+
+    def test_ivf_matches_adhoc_operator(self, emb, emb_index, qvec):
+        from search_engine_core_spark.operators import similarity
+
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.ivf_topk(
+                emb.filter(F.col("vec_id") != 0),
+                qvec,
+                10,
+                n_probe=2,
+                centroid_ids=list(range(1, 17)),
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in emb_index.ivf_topk(qvec, 10, n_probe=2).collect()
+        ]
+        assert got == want and len(got) == 10
+
+    def test_near_dup_matches_adhoc_operator(self, emb, emb_index):
+        from search_engine_core_spark.operators import similarity
+
+        want = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.embedding_near_dup(
+                emb.filter(F.col("vec_id") != 0), threshold=0.25, n_bits=8, seed=42
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in emb_index.near_dup(threshold=0.25).collect()
+        }
+        assert got == want and got
+
+    def test_ann_probe_prunes_partitions(self, emb_index, qvec):
+        """The probe isin must reach PartitionFilters on the vectors scan
+        — the whole point of materializing the bucket (r3 VERDICT #2: the
+        ad-hoc path recomputes 16 dot products per row per query)."""
+        plan = _physical(emb_index.ann_topk(qvec, 10, n_probe=3))
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1][:300]
+        assert "bucket" in pf and "IN" in pf
+
+    def test_ivf_probe_prunes_partitions(self, emb_index, qvec):
+        plan = _physical(emb_index.ivf_topk(qvec, 10, n_probe=2))
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1][:300]
+        assert "cell" in pf
+
+    def test_probe_scan_is_fraction_of_table(self, emb_index, qvec):
+        """Pruning must be real, not cosmetic: a 1-probe scan reads a
+        strict fraction of the table's rows."""
+        from search_engine_core_spark.operators.similarity import multiprobe_buckets
+
+        full = emb_index.vectors()
+        probes = multiprobe_buckets(qvec, emb_index.planes, 1)
+        pruned = full.filter(F.col("bucket").isin(probes))
+        assert 0 < pruned.count() < full.count()
