@@ -5,14 +5,18 @@ Measures the north-rule metrics at $SPARK_GRAFT_SF_DIR scale:
     pre-materialized to parquet UNTIMED (a real deployment reads an
     existing Iceberg table; the synthetic generator is harness, not
     engine), then the full tokenize -> salted shuffle -> compressed
-    postings -> checkpointed write build is timed;
-  * top-k query latency over the materialized index (naive + WAND paths);
+    postings -> checkpointed write build is timed. MIN OF 2 full builds
+    (r3: a one-shot sample cost a round of signal to box noise);
+  * top-k query latency over the materialized index (naive + WAND paths),
+    each leg min-of-2;
+  * LSM freshness: micro-batch ingest -> first correct delta-path query,
+    plus the delta-vs-compacted query-latency A/B;
   * representative driver-table queries (BM25 over documents, cosine
     top-k over embeddings, lineitem rollup).
 
 Output: {"metric": "suite_wall_sec", "value": <total sec>, "unit": "sec",
          "queries": {name: sec}, "sf": <sf>, "index_build_docs_per_sec": N,
-         "query_p95_ms": N, "cores": N}
+         "query_p95_ms": N, "cores": N, "runs": 2, "loadavg_1m": N}
 """
 
 from __future__ import annotations
@@ -42,6 +46,13 @@ QUERY_SET = [
     '"spark table" merge',
     "filter AND sort AND hash",
 ]
+N_RUNS = 2  # min-of-N for build + query legs
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
 
 
 def main() -> None:
@@ -49,6 +60,7 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     n_docs = max(2000, int(200_000 * sf))
+    loadavg = os.getloadavg()[0]
 
     spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 16))
     timings: dict[str, float] = {}
@@ -61,35 +73,91 @@ def main() -> None:
     ).parquet(f"{work}/corpus")
     corpus = spark.read.parquet(f"{work}/corpus")
 
-    t0 = time.monotonic()
-    IndexBuilder(
-        spark,
-        f"{work}/index",
-        n_buckets=8,
-        hot_df_threshold=max(1000, n_docs // 10),
-        n_shards=cores,
-    ).build(corpus)
-    build_sec = time.monotonic() - t0
+    build_secs = []
+    for r in range(N_RUNS):
+        d = f"{work}/index_r{r}"
+        build_secs.append(
+            _timed(
+                lambda: IndexBuilder(
+                    spark,
+                    d,
+                    n_buckets=8,
+                    hot_df_threshold=max(1000, n_docs // 10),
+                    n_shards=cores,
+                ).build(corpus)
+            )
+        )
+    build_sec = min(build_secs)
     timings["index_build"] = round(build_sec, 3)
     docs_per_sec = n_docs / build_sec
+    index_dir = f"{work}/index_r{build_secs.index(build_sec)}"
+    for r in range(N_RUNS):
+        if f"{work}/index_r{r}" != index_dir:
+            shutil.rmtree(f"{work}/index_r{r}", ignore_errors=True)
 
     # -- query latency over the materialized index ------------------------
-    eng = IndexSearchEngine(spark, f"{work}/index", n_buckets=8)
+    eng = IndexSearchEngine(spark, index_dir, n_buckets=8)
     lat_ms: list[float] = []
     for i, q in enumerate(QUERY_SET):
-        t0 = time.monotonic()
-        eng.search(q, 10).collect()
-        dt = time.monotonic() - t0
+        dt = min(_timed(lambda: eng.search(q, 10).collect()) for _ in range(N_RUNS))
         timings[f"search_{i}"] = round(dt, 3)
         lat_ms.append(dt * 1000)
     for i, q in enumerate(["spark OR merge OR token", "filter AND sort AND hash"]):
-        t0 = time.monotonic()
-        eng.search_wand(q, 10).collect()
-        dt = time.monotonic() - t0
+        dt = min(_timed(lambda: eng.search_wand(q, 10).collect()) for _ in range(N_RUNS))
         timings[f"wand_{i}"] = round(dt, 3)
         lat_ms.append(dt * 1000)
     lat_sorted = sorted(lat_ms)
     p95 = lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))]
+
+    # -- LSM: ingest-to-searchable freshness + compaction A/B -------------
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        compact_deltas,
+        start_incremental_index,
+    )
+
+    inbox = f"{work}/inbox"
+    os.makedirs(inbox, exist_ok=True)
+    # producer side (untimed): a micro-batch re-crawling 1% of the corpus
+    n_delta = max(200, n_docs // 100)
+    synthesize_corpus(spark, n_docs=n_delta, tokens_per_doc=200).write.mode(
+        "overwrite"
+    ).parquet(inbox)
+
+    def ingest_and_query():
+        q = start_incremental_index(
+            spark, inbox, index_dir, f"{work}/ckpt", trigger_available_now=True
+        )
+        q.awaitTermination()
+        DeltaSearchEngine(spark, index_dir, n_buckets=8).search(
+            "spark merge", 10
+        ).collect()
+
+    # freshness = micro-batch commit -> first correct query over
+    # [main ⊎ delta] (single-shot: the ingest is not idempotent-timed)
+    timings["lsm_freshness"] = round(_timed(ingest_and_query), 3)
+    deng = DeltaSearchEngine(spark, index_dir, n_buckets=8)
+    dt = min(
+        _timed(lambda: deng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
+    )
+    timings["lsm_query_delta"] = round(dt, 3)
+    timings["lsm_compact"] = round(
+        _timed(
+            lambda: compact_deltas(
+                spark,
+                index_dir,
+                n_buckets=8,
+                hot_df_threshold=max(1000, n_docs // 10),
+                n_shards=cores,
+            )
+        ),
+        3,
+    )
+    ceng = IndexSearchEngine(spark, index_dir, n_buckets=8)
+    dt = min(
+        _timed(lambda: ceng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
+    )
+    timings["lsm_query_compacted"] = round(dt, 3)
 
     # -- driver-table queries ---------------------------------------------
     from search_engine_core_spark.entry_queries import _engine, build_queries
@@ -106,9 +174,10 @@ def main() -> None:
 
     qs = build_queries()
     for name in ["q01_bm25_or_topk", "q26_cosine_bruteforce_topk", "q33_lineitem_rollup"]:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
+        dt = min(
+            _timed(lambda: qs[name](spark, sf_dir).collect()) for _ in range(N_RUNS)
+        )
+        timings[name] = round(dt, 3)
 
     total = time.monotonic() - t_suite
     shutil.rmtree(work, ignore_errors=True)
@@ -124,6 +193,8 @@ def main() -> None:
                 "index_build_docs_per_sec": round(docs_per_sec, 1),
                 "query_p95_ms": round(p95, 1),
                 "cores": cores,
+                "runs": N_RUNS,
+                "loadavg_1m": round(loadavg, 2),
             }
         )
     )

@@ -25,6 +25,13 @@ Subcommands:
     query  --index <dir> --query "<dsl>" [--k 10] top-k over a built index
     suite  --corpus-docs N --index <dir>          synthesize + build + run
                                                   the bench query set
+    stream --index <dir> --checkpoint <dir>       incremental delta ingest
+           [--source files --inbox <dir>]         (file inbox, the sandbox
+           [--source kafka --topic T              default), or the Kafka
+            --bootstrap host:9092]                source — submit with
+                                                  --packages "$(python -c
+            'import scripts.spark_submit_job as j; print(j.kafka_packages())')"
+            so the day a broker exists the swap is one flag, zero code.
 """
 
 from __future__ import annotations
@@ -40,6 +47,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import SparkSession  # noqa: E402
+
+
+def kafka_packages() -> str:
+    """The ``--packages`` coordinate for Structured Streaming's Kafka
+    source, pinned to the RUNNING Spark version (Spark 3.2+/4.x ship
+    Scala 2.13 artifacts). Kept callable so submit scripts never hardcode
+    a version that drifts from the installed pyspark."""
+    import pyspark
+
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
 
 
 def _spark() -> SparkSession:
@@ -103,6 +120,30 @@ def cmd_suite(args) -> None:
     }))
 
 
+def cmd_stream(args) -> None:
+    from search_engine_core_spark.streaming.incremental import start_incremental_index
+
+    spark = _spark()
+    kopts = None
+    if args.source == "kafka":
+        if not (args.topic and args.bootstrap):
+            raise SystemExit("--source kafka requires --topic and --bootstrap")
+        kopts = {"topic": args.topic, "bootstrap_servers": args.bootstrap}
+    elif not args.inbox:
+        raise SystemExit("--source files requires --inbox")
+    q = start_incremental_index(
+        spark,
+        args.inbox or "",
+        args.index,
+        args.checkpoint,
+        trigger_available_now=not args.continuous,
+        source=args.source,
+        kafka_options=kopts,
+    )
+    q.awaitTermination()
+    print(json.dumps({"source": args.source, "index": args.index, "status": "done"}))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -122,6 +163,15 @@ def main() -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--buckets", type=int, default=8)
     s.set_defaults(fn=cmd_suite)
+    st = sub.add_parser("stream")
+    st.add_argument("--index", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--source", choices=["files", "kafka"], default="files")
+    st.add_argument("--inbox")
+    st.add_argument("--topic")
+    st.add_argument("--bootstrap")
+    st.add_argument("--continuous", action="store_true")
+    st.set_defaults(fn=cmd_stream)
     args = ap.parse_args()
     args.fn(args)
     return 0
