@@ -117,7 +117,33 @@ class IndexSearchEngine:
                 trip = trip.localCheckpoint(eager=True)
         else:
             trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
-        return Planner(self.reader.docs, trip, self.reader.dfreq, self.stats, self.field_map)
+        return Planner(
+            self.reader.docs,
+            trip,
+            self.reader.dfreq,
+            self.stats,
+            self.field_map,
+            phrase_docs_fn=self._phrase_docs_fn(),
+        )
+
+    def _phrase_docs_fn(self):
+        """Positional-adjacency phrase candidates when the index stores the
+        positions sidecar; None keeps the content substring path. On slim
+        indexes this is what answers phrases WITHOUT attach_content."""
+        if not self.reader.has_positions():
+            return None
+        from search_engine_core_spark.functions.tokenizer import tokenize_py
+        from search_engine_core_spark.operators.positions import phrase_candidate_docs
+
+        def fn(term):
+            toks = tokenize_py(term.value)
+            if not toks:
+                return None  # no tokens to align — substring path decides
+            return phrase_candidate_docs(
+                self.reader.positions_for_terms(list(dict.fromkeys(toks))), toks
+            )
+
+        return fn
 
     def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
         from search_engine_core_spark.plans.planner import scoring_terms

@@ -79,12 +79,17 @@ class Planner:
         dfreq: DataFrame,
         stats: CorpusStats,
         field_map: dict[str, str] | None = None,
+        phrase_docs_fn=None,
     ):
         self.docs = docs
         self.trip = trip
         self.dfreq = dfreq
         self.stats = stats
         self.field_map = field_map if field_map is not None else DEFAULT_FIELD_MAP
+        # optional positional-adjacency candidate source for exact phrases
+        # (Term -> DataFrame(doc_id) | None): injected by engines whose
+        # index stores the positions sidecar (operators/positions.py)
+        self.phrase_docs_fn = phrase_docs_fn
         self.parser = QueryParser()
 
     # -- candidate sets -------------------------------------------------
@@ -100,6 +105,24 @@ class Planner:
             # instead of every byte of the corpus.
             phrase = term.value.lower()
             toks = tokenize_py(term.value)
+            if self.phrase_docs_fn is not None:
+                adj = self.phrase_docs_fn(term)
+                if adj is not None:
+                    if "content" not in self.docs.columns:
+                        # slim index + positions: token-adjacency answers
+                        # the phrase with NO content re-attach — this is
+                        # RediSearch's own FT.SEARCH exact-phrase
+                        # semantics (positional), which the reference's
+                        # substring check runs on top of
+                        return adj
+                    # content present: adjacency TIGHTENS the prefilter
+                    # (strictly closer to the reference than
+                    # has-all-tokens) before the same substring verify
+                    return (
+                        self.docs.join(adj, "doc_id", "left_semi")
+                        .filter(F.instr(F.lower(F.col("content")), F.lit(phrase)) > 0)
+                        .select("doc_id")
+                    )
             base = self.docs
             if toks:
                 base = base.join(self._docs_with_all_terms(toks), "doc_id", "left_semi")

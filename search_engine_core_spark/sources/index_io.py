@@ -72,6 +72,11 @@ class IndexBuilder:
     # only matches map-side-tf at 16 cores — keep the default unless
     # executors have memory to sort raw occurrences without spilling.
     map_side_tf: bool = True
+    # Opt-in positional sidecar (<index_dir>/positions/bucket=B/): token
+    # positions per (doc, term), delta+varbyte encoded — phrase queries
+    # answered index-only (no attach_content on slim indexes). Positions
+    # roughly double index bytes, hence opt-in (operators/positions.py).
+    store_positions: bool = False
     # Opt-in: write the docs table on a side thread while the postings job
     # runs (requires spark.scheduler.mode=FAIR to actually share slots).
     # Measured on one shared-memory-bus box: helps the small config
@@ -270,6 +275,24 @@ class IndexBuilder:
                 "bucket"
             ).parquet(f"{self.index_dir}/dfreq")
             self._log("dfreq", 0, "completed", 0, 0, attempt, t0)
+
+        if self.store_positions and ("positions", 0) not in self._completed():
+            from search_engine_core_spark.operators.positions import position_rows
+
+            t0 = time.monotonic()
+            pos = position_rows(docs.select("doc_id", "content")).withColumn(
+                "bucket", _bucket_expr(self.n_buckets)
+            )
+            # one shuffle keyed by the partition column: each bucket dir is
+            # written by a bounded task set (same discipline as postings)
+            (
+                pos.repartition("bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{self.index_dir}/positions")
+            )
+            self._log("positions", 0, "completed", 0, 0, attempt, t0)
 
     def _hot_terms_sampled(self, docs: DataFrame) -> DataFrame:
         """Estimate the hot-term set (df > threshold) from a seeded sample.
@@ -616,5 +639,26 @@ class IndexReader:
         # Spark's xxhash64 — no Spark job just to plan the scan
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         return self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def has_positions(self) -> bool:
+        """True when the opt-in positional sidecar was built
+        (``IndexBuilder(store_positions=True)``)."""
+        import os
+
+        return os.path.isdir(f"{self.index_dir}/positions")
+
+    def positions_for_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned positional-postings scan — same pruning discipline
+        as :meth:`postings_for_terms`."""
+        from search_engine_core_spark.functions.xxhash import term_bucket
+
+        if getattr(self, "_positions", None) is None:
+            self._positions = self.spark.read.option(
+                "basePath", f"{self.index_dir}/positions"
+            ).parquet(f"{self.index_dir}/positions")
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return self._positions.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )

@@ -1,0 +1,138 @@
+"""Positional postings sidecar (opt-in, round 4): encode/decode roundtrip,
+npos==tf invariant, token-adjacency semantics, and rank identity of
+phrase queries vs the content substring path — including the slim-index
+mode where phrases are answered with NO content column at all."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.engine import IndexSearchEngine
+from search_engine_core_spark.functions.tokenizer import tokenize_py
+from search_engine_core_spark.operators.positions import (
+    decode_positions_df,
+    phrase_candidate_docs,
+    position_rows,
+)
+from search_engine_core_spark.sources.index_io import IndexBuilder
+
+PHRASE_QUERIES = [
+    '"spark table"',
+    '"spark table" merge',
+    '"config query" OR token',
+    '"def" token',
+]
+
+
+@pytest.fixture(scope="module")
+def pos_indexes(spark, small_corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("positx"))
+    IndexBuilder(spark, base + "/plain", n_buckets=4, n_shards=2).build(small_corpus)
+    IndexBuilder(
+        spark, base + "/pos", n_buckets=4, n_shards=2, store_positions=True
+    ).build(small_corpus)
+    IndexBuilder(
+        spark,
+        base + "/slimpos",
+        n_buckets=4,
+        n_shards=2,
+        store_content=False,
+        store_positions=True,
+    ).build(small_corpus)
+    return base
+
+
+def test_roundtrip_matches_tokenizer(spark):
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {
+        (r["doc_id"], r["term"]): r["positions"]
+        for r in decode_positions_df(position_rows(df)).collect()
+    }
+    for doc_id, content in rows:
+        toks = tokenize_py(content)
+        want: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            want.setdefault(t, []).append(i)
+        for t, ps in want.items():
+            assert got[(doc_id, t)] == ps
+    assert not any(k[0] == 3 for k in got)  # empty doc emits nothing
+
+
+def test_npos_equals_tf(spark, small_corpus):
+    from search_engine_core_spark.operators.stats import triples
+
+    pos = position_rows(small_corpus.select("doc_id", "content"))
+    trip = triples(small_corpus)
+    joined = pos.select("doc_id", "term", "npos").join(
+        trip.select("doc_id", "term", "tf"), ["doc_id", "term"], "full"
+    )
+    bad = joined.filter(
+        F.col("npos").isNull()
+        | F.col("tf").isNull()
+        | (F.col("npos") != F.col("tf"))
+    ).count()
+    assert bad == 0
+
+
+def test_adjacency_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),  # adjacent -> match
+            (2, "alpha gap beta"),  # gap -> no match (canonical tokenizer
+            # drops 1-char tokens, so the separator must be a real token)
+            (3, "beta alpha"),  # reversed -> no match
+            (4, "alphax beta alpha beta"),  # match later in doc
+            (5, "qq ww aa bb aa zz"),  # duplicate-token phrase target
+        ],
+        "doc_id long, content string",
+    )
+    pos = position_rows(df)
+    assert {r["doc_id"] for r in phrase_candidate_docs(pos, ["alpha", "beta"]).collect()} == {1, 4}
+    assert {r["doc_id"] for r in phrase_candidate_docs(pos, ["aa", "bb", "aa"]).collect()} == {5}
+    assert phrase_candidate_docs(pos, ["alpha", "gamma"]).count() == 0
+
+
+def test_phrase_rank_identity_vs_substring_path(spark, pos_indexes):
+    """Content present on both sides: the positional adjacency prefilter +
+    substring verify must rank identically to the has-all-tokens +
+    substring path (on this corpus substring occurrences only exist at
+    token boundaries, so the tightened prefilter loses nothing)."""
+    plain = IndexSearchEngine(spark, pos_indexes + "/plain", n_buckets=4)
+    pos = IndexSearchEngine(spark, pos_indexes + "/pos", n_buckets=4)
+    assert pos.reader.has_positions() and not plain.reader.has_positions()
+    for q in PHRASE_QUERIES:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in plain.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in pos.search(q, 10).collect()]
+        assert a == b, q
+
+
+def test_slim_index_answers_phrases_without_content(spark, pos_indexes):
+    """The 100 TB payoff: a slim index (content stays in the source table)
+    with the positions sidecar answers phrase queries index-only. On this
+    corpus token-adjacency equals the substring semantics for space-
+    separated phrase hits, so ranks match the full content path."""
+    slim = IndexSearchEngine(spark, pos_indexes + "/slimpos", n_buckets=4)
+    assert "content" not in slim.reader.docs.columns
+    full = IndexSearchEngine(spark, pos_indexes + "/plain", n_buckets=4)
+    for q in ['"spark table"', '"config query" OR token']:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in full.search(q, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in slim.search(q, 10).collect()]
+        assert a == b, q
+
+
+def test_positions_scan_is_bucket_pruned(spark, pos_indexes):
+    pos = IndexSearchEngine(spark, pos_indexes + "/pos", n_buckets=4)
+    plan = (
+        pos.reader.positions_for_terms(["spark", "table"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
