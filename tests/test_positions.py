@@ -126,6 +126,25 @@ def test_slim_index_answers_phrases_without_content(spark, pos_indexes):
         assert a == b, q
 
 
+def test_positions_stage_is_resume_idempotent(spark, pos_indexes):
+    """A re-build over a completed index must skip the positions stage
+    (checkpoint lineage), like every other stage — one completed row, no
+    duplicates after the no-op re-run."""
+    d = pos_indexes + "/pos"
+    ck = spark.read.parquet(d + "/_checkpoint")
+    before = ck.filter(F.col("stage") == "positions").count()
+    assert before == 1
+    IndexBuilder(spark, d, n_buckets=4, n_shards=2, store_positions=True).build(
+        spark.createDataFrame([], "doc_id long, content string, repo string, path string, commit string, lang string, content_sha256 string, doclen int")
+    )
+    after = (
+        spark.read.parquet(d + "/_checkpoint")
+        .filter(F.col("stage") == "positions")
+        .count()
+    )
+    assert after == 1
+
+
 def test_positions_scan_is_bucket_pruned(spark, pos_indexes):
     pos = IndexSearchEngine(spark, pos_indexes + "/pos", n_buckets=4)
     plan = (

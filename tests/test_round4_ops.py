@@ -177,3 +177,30 @@ class TestEmbeddingIndex:
         probes = multiprobe_buckets(qvec, emb_index.planes, 1)
         pruned = full.filter(F.col("bucket").isin(probes))
         assert 0 < pruned.count() < full.count()
+
+    def test_kmeans_layout_matches_adhoc(self, spark, emb, qvec, tmp_path_factory):
+        """kmeans_iters>0: the builder's Lloyd-refined cells must probe
+        identically to the ad-hoc operator fed the same refined centroids
+        (training and search share the rounded-cosine argmax expression)."""
+        from search_engine_core_spark.operators import similarity
+        from search_engine_core_spark.sources.embedding_index import (
+            EmbeddingIndex,
+            EmbeddingIndexBuilder,
+        )
+
+        d = str(tmp_path_factory.mktemp("embkm") / "e")
+        base = emb.filter(F.col("vec_id") != 0)
+        EmbeddingIndexBuilder(
+            spark, d, n_bits=8, seed=42, n_centroids=8, kmeans_iters=2, ivf_seed=7
+        ).build(base)
+        idx = EmbeddingIndex(spark, d)
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.ivf_topk(
+                base, qvec, 10, n_probe=2, centroids=idx.centroids
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cos_sim"]) for r in idx.ivf_topk(qvec, 10, n_probe=2).collect()
+        ]
+        assert got == want and len(got) == 10
