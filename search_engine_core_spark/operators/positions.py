@@ -77,6 +77,89 @@ def position_rows(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "content").mapInPandas(gen, POSITIONS_SCHEMA)
 
 
+def position_rows_arrow(batches):
+    """mapInArrow twin of :func:`position_rows` — ZERO per-row Python.
+
+    Same discipline as ``doc_tf_arrow`` + ``_encode_chunk_arrow``
+    (``operators/postings.py``): Arrow C++ lower/split/filter, numpy
+    segmented position arithmetic, ONE varbyte encode over the whole
+    batch's delta stream, zero-copy binary-array assembly from cumsum
+    offsets. The pandas implementation stays as the tested reference twin
+    (identical output pinned in tests); the builder uses this one — the
+    pandas path's per-doc tokenize loop cost +81% build time at 20k docs.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_core_spark.functions.tokenizer import (
+        MIN_TOKEN_LEN,
+        TOKEN_SPLIT_RE,
+    )
+    from search_engine_core_spark.functions.varbyte import vb_encode_with_sizes
+
+    try:
+        pa.set_cpu_count(1)  # one task slot = one core (strong-scaling honesty)
+    except Exception:
+        pass
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("content")), TOKEN_SPLIT_RE
+        )
+        parents = toks.value_parent_indices().to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = toks.flatten()
+        keep = pc.greater_equal(pc.utf8_length(vals), MIN_TOKEN_LEN)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        kept_parents = parents[keep_np]
+        n = kept_parents.size
+        if n == 0:
+            continue
+        vals = vals.filter(keep)
+        # canonical token index = rank among kept tokens within each doc
+        new_doc = np.empty(n, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = kept_parents[1:] != kept_parents[:-1]
+        doc_starts = np.flatnonzero(new_doc)
+        did = np.cumsum(new_doc) - 1
+        pos = np.arange(n, dtype=np.int64) - doc_starts[did]
+        # group by (doc, term): dictionary-encode terms, composite int key,
+        # stable sort keeps within-group positions ascending
+        codes = pc.dictionary_encode(vals)
+        code_idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (kept_parents << 32) | code_idx
+        order = np.argsort(key, kind="stable")
+        k_sorted = key[order]
+        gb = np.empty(n, dtype=bool)
+        gb[0] = True
+        gb[1:] = k_sorted[1:] != k_sorted[:-1]
+        gstarts = np.flatnonzero(gb)
+        gends = np.append(gstarts[1:], n)
+        pos_sorted = pos[order]
+        deltas_i = np.empty(n, dtype=np.int64)
+        deltas_i[0] = pos_sorted[0]
+        deltas_i[1:] = pos_sorted[1:] - pos_sorted[:-1]
+        deltas_i[gb] = pos_sorted[gb]  # group firsts are absolute
+        buf, sizes = vb_encode_with_sizes(deltas_i.astype(np.uint64))
+        csum = np.concatenate(([0], np.cumsum(sizes)))
+        off = np.append(csum[gstarts], csum[n]).astype(np.int32)
+        pos_bytes = pa.Array.from_buffers(
+            pa.binary(),
+            gstarts.size,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)],
+        )
+        first_rows = order[gstarts]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(batch.column("doc_id"), pa.array(kept_parents[first_rows])),
+                pc.take(codes.dictionary, pa.array(code_idx[first_rows])),
+                pa.array((gends - gstarts).astype(np.int32)),
+                pos_bytes,
+            ],
+            names=["doc_id", "term", "npos", "pos_bytes"],
+        )
+
+
 def _decode_positions_udf():
     """pandas UDF: (npos, pos_bytes) -> array<int> of absolute positions.
     Type objects, not DDL strings (Spark 4 module-level UDF gotcha)."""

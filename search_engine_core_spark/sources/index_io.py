@@ -277,11 +277,16 @@ class IndexBuilder:
             self._log("dfreq", 0, "completed", 0, 0, attempt, t0)
 
         if self.store_positions and ("positions", 0) not in self._completed():
-            from search_engine_core_spark.operators.positions import position_rows
+            from search_engine_core_spark.operators.positions import (
+                POSITIONS_SCHEMA,
+                position_rows_arrow,
+            )
 
             t0 = time.monotonic()
-            pos = position_rows(docs.select("doc_id", "content")).withColumn(
-                "bucket", _bucket_expr(self.n_buckets)
+            pos = (
+                docs.select("doc_id", "content")
+                .mapInArrow(position_rows_arrow, POSITIONS_SCHEMA)
+                .withColumn("bucket", _bucket_expr(self.n_buckets))
             )
             # one shuffle keyed by the partition column: each bucket dir is
             # written by a bounded task set (same discipline as postings)

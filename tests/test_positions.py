@@ -64,6 +64,26 @@ def test_roundtrip_matches_tokenizer(spark):
     assert not any(k[0] == 3 for k in got)  # empty doc emits nothing
 
 
+def test_arrow_twin_identical_to_pandas(spark, small_corpus):
+    """The builder's Arrow C++ extractor must produce byte-identical rows
+    to the pandas reference twin on the full corpus."""
+    from search_engine_core_spark.operators.positions import (
+        POSITIONS_SCHEMA,
+        position_rows_arrow,
+    )
+
+    src = small_corpus.select("doc_id", "content")
+    a = {
+        (r["doc_id"], r["term"]): (r["npos"], bytes(r["pos_bytes"]))
+        for r in src.mapInArrow(position_rows_arrow, POSITIONS_SCHEMA).collect()
+    }
+    b = {
+        (r["doc_id"], r["term"]): (r["npos"], bytes(r["pos_bytes"]))
+        for r in position_rows(src).collect()
+    }
+    assert a == b and a
+
+
 def test_npos_equals_tf(spark, small_corpus):
     from search_engine_core_spark.operators.stats import triples
 
