@@ -226,7 +226,46 @@ class DeltaSearchEngine:
         else:
             trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
         dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        return Planner(self.docs, trip, dfreq, self.stats).topk_ast(ast, k, algorithm)
+        return Planner(
+            self.docs, trip, dfreq, self.stats, phrase_docs_fn=self._phrase_docs_fn()
+        ).topk_ast(ast, k, algorithm)
+
+    def _phrase_docs_fn(self):
+        """Positional phrase candidates over [main positions ∖ superseded
+        ⊎ delta positions] when the main index stores the sidecar — so a
+        SLIM main index answers phrases across the whole LSM view with no
+        content re-attach. Delta docs' positions are extracted on the fly
+        (level-0 is small by compaction cadence); superseded main docs are
+        anti-joined out exactly like their postings."""
+        if not self.reader.has_positions():
+            return None
+        from search_engine_core_spark.functions.tokenizer import tokenize_py
+        from search_engine_core_spark.operators.positions import (
+            POSITIONS_SCHEMA,
+            phrase_candidate_docs,
+            position_rows_arrow,
+        )
+
+        def fn(term):
+            toks = tokenize_py(term.value)
+            if not toks:
+                return None
+            uniq = list(dict.fromkeys(toks))
+            pos = (
+                self.reader.positions_for_terms(uniq)
+                .select("doc_id", "term", "npos", "pos_bytes")
+                .join(self.delta_docs.select("doc_id"), "doc_id", "left_anti")
+            )
+            if "content" in self.delta_docs.columns:
+                delta_pos = (
+                    self.delta_docs.select("doc_id", "content")
+                    .mapInArrow(position_rows_arrow, POSITIONS_SCHEMA)
+                    .filter(F.col("term").isin(uniq))
+                )
+                pos = pos.unionByName(delta_pos)
+            return phrase_candidate_docs(pos, toks)
+
+        return fn
 
 
 def compact_deltas(
@@ -316,6 +355,42 @@ def compact_deltas(
         new_docs.write.mode("overwrite").parquet(dtmp)
         shutil.rmtree(f"{index_dir}/docs")
         shutil.move(dtmp, f"{index_dir}/docs")
+
+    # the positional sidecar (if built) must move with the postings too:
+    # superseded docs' stale positions out, delta docs' positions in —
+    # per-(doc, term) rows, so compaction here is an anti-join + append,
+    # not a full re-extract of the main corpus
+    import os
+
+    if os.path.isdir(f"{index_dir}/positions"):
+        from search_engine_core_spark.operators.positions import (
+            POSITIONS_SCHEMA,
+            position_rows_arrow,
+        )
+
+        old_pos = spark.read.option("basePath", f"{index_dir}/positions").parquet(
+            f"{index_dir}/positions"
+        )
+        kept = old_pos.join(delta_docs, "doc_id", "left_anti")
+        if ddocs is not None and "content" in ddocs.columns:
+            fresh = (
+                ddocs.select("doc_id", "content")
+                .mapInArrow(position_rows_arrow, POSITIONS_SCHEMA)
+                .withColumn("bucket", _bucket_expr(n_buckets))
+            )
+            new_pos = kept.select(*fresh.columns).unionByName(fresh)
+        else:
+            new_pos = kept
+        ptmp = f"{index_dir}/positions_compact_tmp"
+        (
+            new_pos.repartition("bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(ptmp)
+        )
+        shutil.rmtree(f"{index_dir}/positions")
+        shutil.move(ptmp, f"{index_dir}/positions")
     docs_now = spark.read.parquet(f"{index_dir}/docs")
     stats_df = docs_now.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")

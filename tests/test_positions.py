@@ -165,6 +165,59 @@ def test_positions_stage_is_resume_idempotent(spark, pos_indexes):
     assert after == 1
 
 
+def test_lsm_phrase_on_slim_index_with_positions(spark, small_corpus, tmp_path):
+    """Full LSM story for positional phrases: a SLIM main index (content
+    never copied) + positions sidecar answers phrases across
+    [main ∖ superseded ⊎ delta] before compaction, and compaction
+    refreshes the sidecar (stale positions out, delta positions in) so
+    the post-compaction index answers identically."""
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        compact_deltas,
+        start_incremental_index,
+    )
+
+    d = str(tmp_path / "idx")
+    IndexBuilder(
+        spark, d, n_buckets=4, n_shards=2, store_content=False, store_positions=True
+    ).build(small_corpus)
+
+    # delta: one NEW doc holding a unique phrase, plus a RE-CRAWL of an
+    # existing doc whose new content drops its old tokens entirely
+    victim = small_corpus.select("repo", "path", "commit", "lang").first()
+    inbox = str(tmp_path / "inbox")
+    spark.createDataFrame(
+        [
+            ("org/new", "src/p.py", "c9", "python", "zebra quantum flux appears here"),
+            (victim["repo"], victim["path"], victim["commit"], victim["lang"],
+             "totally replaced words only"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(inbox)
+    q = start_incremental_index(spark, inbox, d, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    new_id = with_doc_columns(
+        spark.createDataFrame(
+            [("org/new", "src/p.py", "c9", "python", "x")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    ).first()["doc_id"]
+
+    deng = DeltaSearchEngine(spark, d, n_buckets=4)
+    hits = deng.search('"zebra quantum flux"', 10).collect()
+    assert [r["doc_id"] for r in hits] == [new_id]
+
+    compact_deltas(spark, d, n_buckets=4, hot_df_threshold=50, n_shards=2)
+    ceng = IndexSearchEngine(spark, d, n_buckets=4)
+    hits2 = ceng.search('"zebra quantum flux"', 10).collect()
+    assert [r["doc_id"] for r in hits2] == [new_id]
+    # the re-crawled doc's OLD positions must be gone: its old phrase
+    # tokens no longer produce it as a phrase hit
+    assert ceng.search('"totally replaced words"', 10).count() == 1
+
+
 def test_positions_scan_is_bucket_pruned(spark, pos_indexes):
     pos = IndexSearchEngine(spark, pos_indexes + "/pos", n_buckets=4)
     plan = (
