@@ -499,6 +499,25 @@ class IndexBuilder:
             shutil.rmtree(f"{self.index_dir}/dfreq")
             shutil.move(tmp_dfreq, f"{self.index_dir}/dfreq")
 
+        # positional sidecar (if built): doomed docs' positions must go
+        # too, or a phrase-only query would resurrect them as score-0 hits
+        # (slim-index phrase candidates come from positions alone)
+        if pathlib.Path(f"{self.index_dir}/positions").exists():
+            old_pos = self.spark.read.option(
+                "basePath", f"{self.index_dir}/positions"
+            ).parquet(f"{self.index_dir}/positions")
+            tmp_pos = f"{self.index_dir}/positions_del_tmp"
+            (
+                old_pos.join(doomed, "doc_id", "left_anti")
+                .repartition("bucket")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp_pos)
+            )
+            shutil.rmtree(f"{self.index_dir}/positions")
+            shutil.move(tmp_pos, f"{self.index_dir}/positions")
+
         self._log("delete", 0, "completed", n_doomed, 0, attempt, t0)
         return n_doomed
 

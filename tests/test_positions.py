@@ -218,6 +218,38 @@ def test_lsm_phrase_on_slim_index_with_positions(spark, small_corpus, tmp_path):
     assert ceng.search('"totally replaced words"', 10).count() == 1
 
 
+def test_delete_removes_positions(spark, small_corpus, tmp_path):
+    """Row-level delete must scrub the positional sidecar: on a slim
+    index a phrase-only query draws candidates from positions alone, so
+    stale rows would resurrect deleted docs as score-0 hits."""
+    d = str(tmp_path / "idx")
+    b = IndexBuilder(
+        spark, d, n_buckets=4, n_shards=2, store_content=False, store_positions=True
+    )
+    b.build(small_corpus)
+    eng = IndexSearchEngine(spark, d, n_buckets=4)
+    victim_repo = small_corpus.select("repo").first()["repo"]
+    doomed_ids = {
+        r["doc_id"]
+        for r in small_corpus.filter(F.col("repo") == victim_repo)
+        .select("doc_id")
+        .collect()
+    }
+    n = b.delete(F.col("repo") == victim_repo)
+    assert n == len(doomed_ids) > 0
+    left = (
+        spark.read.option("basePath", f"{d}/positions")
+        .parquet(f"{d}/positions")
+        .filter(F.col("doc_id").isin([int(x) for x in doomed_ids]))
+        .count()
+    )
+    assert left == 0
+    # fresh reader (caches are load-time): no deleted doc in any phrase hit
+    eng2 = IndexSearchEngine(spark, d, n_buckets=4)
+    hits = {r["doc_id"] for r in eng2.search('"spark table"', 50).collect()}
+    assert not (hits & doomed_ids)
+
+
 def test_positions_scan_is_bucket_pruned(spark, pos_indexes):
     pos = IndexSearchEngine(spark, pos_indexes + "/pos", n_buckets=4)
     plan = (
