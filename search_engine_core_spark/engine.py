@@ -18,7 +18,25 @@ from search_engine_core_spark.plans.planner import Planner
 from search_engine_core_spark.plans.query_parser import QueryParser
 
 
-class SearchEngine:
+def clamp_page_limit(page: int, limit: int) -> tuple[int, int]:
+    """The search API's bounds (``src/search_api.cpp:162-181``): limit is
+    clamped to [1, 100], page to [1, 1000] — out-of-range values saturate
+    rather than error (reference behavior)."""
+    return max(1, min(1000, int(page))), max(1, min(100, int(limit)))
+
+
+class _PaginatedSearch:
+    """GET /search?page=&limit= semantics shared by both engines (O2)."""
+
+    def search_page(self, query: str, page: int = 1, limit: int = 10,
+                    algorithm: str = "bm25") -> DataFrame:
+        page, limit = clamp_page_limit(page, limit)
+        return self.search(query, k=page * limit, algorithm=algorithm).offset(
+            (page - 1) * limit
+        )
+
+
+class SearchEngine(_PaginatedSearch):
     def __init__(self, docs: DataFrame, field_map: dict[str, str] | None = None):
         """``docs`` must carry doc_id/content/doclen (see corpus.py);
         a raw input_hint corpus is upgraded automatically."""
@@ -72,7 +90,7 @@ class SearchEngine:
             df.unpersist()
 
 
-class IndexSearchEngine:
+class IndexSearchEngine(_PaginatedSearch):
     """Query engine over a materialized compressed index (sources/index_io).
 
     ``search`` answers the full DSL by decoding only the query terms'

@@ -64,6 +64,85 @@ class TestNgramJaccardLshDefault:
         assert got == {(3, 99)}
 
 
+# ------------------------------- reference test-strategy parity (SURVEY §5)
+class TestReferenceTestStrategyParity:
+    def test_unicode_roundtrip_index_search_delete(self, spark, tmp_path):
+        """Storage round-trip incl. a Persian Unicode doc
+        (``tests/storage/test_redis_search_storage.cpp:118-267``:
+        index -> search -> verify -> delete -> verify-gone). Our canonical
+        tokenizer treats non-ASCII as separators (SearchScorer's
+        C-locale isalnum), so the doc is retrievable via its ASCII tokens
+        while content and sha roundtrip byte-faithfully."""
+        from search_engine_core_spark.corpus import with_doc_columns
+        from search_engine_core_spark.engine import IndexSearchEngine
+        from search_engine_core_spark.sources.index_io import IndexBuilder
+
+        fa = "جستجوی فارسی spark engine تست"
+        corpus = with_doc_columns(
+            spark.createDataFrame(
+                [
+                    ("org/fa", "src/fa.py", "c1", "python", fa),
+                    ("org/en", "src/en.py", "c1", "python", "plain english doc"),
+                ],
+                "repo string, path string, commit string, lang string, content string",
+            )
+        )
+        d = str(tmp_path / "u")
+        b = IndexBuilder(spark, d, n_buckets=4, n_shards=2)
+        b.build(corpus)
+        eng = IndexSearchEngine(spark, d, n_buckets=4)
+        fa_id = corpus.filter(F.col("repo") == "org/fa").first()["doc_id"]
+        assert [r["doc_id"] for r in eng.search("spark engine", 10).collect()] == [fa_id]
+        # content (with the Unicode text) survived the store byte-faithfully
+        row = eng.reader.docs.filter(F.col("doc_id") == fa_id).first()
+        assert row["content"] == fa
+        assert (
+            eng.reader.docs.filter(
+                F.sha2("content", 256) != F.col("content_sha256")
+            ).count()
+            == 0
+        )
+        assert b.delete(F.col("repo") == "org/fa") == 1
+        eng2 = IndexSearchEngine(spark, d, n_buckets=4)
+        assert eng2.search("spark engine", 10).count() == 0  # verify-gone
+
+    def test_concurrent_searches_thread_safe(self, spark, small_corpus, tmp_path):
+        """Thread-safety parity (``TestExactSearchE2E.cpp:183-222``:
+        10 threads x concurrent searches): concurrent driver threads over
+        one engine must each get the sequential answer."""
+        import concurrent.futures
+
+        from search_engine_core_spark.engine import IndexSearchEngine
+        from search_engine_core_spark.sources.index_io import IndexBuilder
+
+        d = str(tmp_path / "c")
+        IndexBuilder(spark, d, n_buckets=4, n_shards=2).build(small_corpus)
+        eng = IndexSearchEngine(spark, d, n_buckets=4)
+        queries = ["spark merge", "config query", "return", "filter AND sort"] * 3
+        want = {q: [(r["doc_id"], round(r["score"], 9)) for r in eng.search(q, 5).collect()] for q in set(queries)}
+
+        def one(q):
+            return q, [(r["doc_id"], round(r["score"], 9)) for r in eng.search(q, 5).collect()]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            for q, got in ex.map(one, queries):
+                assert got == want[q], q
+
+    def test_search_page_clamps_and_slices(self, spark, small_corpus):
+        """GET /search page/limit bounds (``src/search_api.cpp:162-181``):
+        limit saturates at 100, page at [1, 1000]; page N is rows
+        [(N-1)*limit, N*limit) of the deterministic full ordering."""
+        from search_engine_core_spark.engine import SearchEngine, clamp_page_limit
+
+        assert clamp_page_limit(0, 500) == (1, 100)
+        assert clamp_page_limit(5000, 0) == (1000, 1)
+        eng = SearchEngine(small_corpus)
+        full = [r["doc_id"] for r in eng.search("spark OR merge", 15).collect()]
+        p2 = [r["doc_id"] for r in eng.search_page("spark OR merge", page=2, limit=5).collect()]
+        assert p2 == full[5:10]
+        eng.unpersist()
+
+
 # ----------------------------------------------- materialized ANN index
 SF_DIR = "/root/testdata/sf0.001"
 
