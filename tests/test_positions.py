@@ -218,6 +218,42 @@ def test_lsm_phrase_on_slim_index_with_positions(spark, small_corpus, tmp_path):
     assert ceng.search('"totally replaced words"', 10).count() == 1
 
 
+def test_phrase_adjacency_randomized_vs_python_oracle(spark):
+    """Seeded randomized sweep: 200 docs over a 5-token alphabet (dense
+    repeats + duplicate tokens inside phrases), every phrase of length
+    2-3 checked against a pure-Python adjacency oracle."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    alpha = ["aa", "bb", "cc", "dd", "ee"]
+    docs = {
+        i: [rng.choice(alpha) for _ in range(rng.randint(2, 12))] for i in range(200)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], "doc_id long, content string"
+    )
+    pos = position_rows(df).localCheckpoint(eager=True)
+
+    def py_oracle(phrase):
+        out = set()
+        for i, toks in docs.items():
+            for s in range(len(toks) - len(phrase) + 1):
+                if toks[s : s + len(phrase)] == phrase:
+                    out.add(i)
+                    break
+        return out
+
+    phrases = [list(p) for p in itertools.product(alpha[:3], repeat=2)] + [
+        ["aa", "aa", "bb"],
+        ["cc", "dd", "ee"],
+        ["bb", "bb", "bb"],
+    ]
+    for ph in phrases:
+        got = {r["doc_id"] for r in phrase_candidate_docs(pos, ph).collect()}
+        assert got == py_oracle(ph), ph
+
+
 def test_delete_removes_positions(spark, small_corpus, tmp_path):
     """Row-level delete must scrub the positional sidecar: on a slim
     index a phrase-only query draws candidates from positions alone, so
