@@ -25,6 +25,26 @@ def clamp_page_limit(page: int, limit: int) -> tuple[int, int]:
     return max(1, min(1000, int(page))), max(1, min(100, int(limit)))
 
 
+def _meta_with_snippet(hits: DataFrame, docs: DataFrame, terms: list[str],
+                       highlight: bool) -> DataFrame:
+    """Join top-k hits back to doc metadata + 200-char snippet (O6,
+    ``src/storage/RedisSearchStorage.cpp:286-289``), optional ``<b>``
+    highlighting — applied to the k result rows only, never the corpus."""
+    cols = [c for c in ("repo", "path", "lang", "content") if c in docs.columns]
+    out = hits.join(docs.select("doc_id", *cols), "doc_id", "left")
+    if "content" in cols:
+        snippet = F.when(
+            F.length("content") > 200,
+            F.concat(F.substring("content", 1, 200), F.lit("...")),
+        ).otherwise(F.col("content"))
+        if highlight:
+            from search_engine_core_spark.functions.highlight import highlight_expr
+
+            snippet = highlight_expr(snippet, terms)
+        out = out.withColumn("snippet", snippet).drop("content")
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 class _PaginatedSearch:
     """GET /search?page=&limit= semantics shared by both engines (O2)."""
 
@@ -66,24 +86,11 @@ class SearchEngine(_PaginatedSearch):
         ``src/storage/RedisSearchStorage.cpp:286-289``). ``highlight=True``
         wraps the query's canonical tokens in ``<b>`` tags in the snippet
         (``SearchQuery.highlight`` -> ``HIGHLIGHT FIELDS``,
-        ``RedisSearchStorage.cpp:254-261``) — applied to the k result rows
-        only, never the corpus."""
-        hits = self.search(query, k)
-        cols = [c for c in ("repo", "path", "lang", "content") if c in self.docs.columns]
-        out = hits.join(self.docs.select("doc_id", *cols), "doc_id", "left")
-        if "content" in cols:
-            snippet = F.when(
-                F.length("content") > 200,
-                F.concat(F.substring("content", 1, 200), F.lit("...")),
-            ).otherwise(F.col("content"))
-            if highlight:
-                from search_engine_core_spark.functions.highlight import highlight_expr
-                from search_engine_core_spark.plans.planner import scoring_terms
+        ``RedisSearchStorage.cpp:254-261``)."""
+        from search_engine_core_spark.plans.planner import scoring_terms
 
-                terms = scoring_terms(self.planner.parser.parse(query))
-                snippet = highlight_expr(snippet, terms)
-            out = out.withColumn("snippet", snippet).drop("content")
-        return out.orderBy(F.desc("score"), F.asc("doc_id"))
+        terms = scoring_terms(self.planner.parser.parse(query)) if highlight else []
+        return _meta_with_snippet(self.search(query, k), self.docs, terms, highlight)
 
     def unpersist(self) -> None:
         for df in (self.trip, self.dfreq, self.docs):
@@ -225,6 +232,18 @@ class IndexSearchEngine(_PaginatedSearch):
             # would weaken to "any"
             return "OR"
         return None
+
+    def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
+        """Index-engine twin of ``SearchEngine.search_with_meta`` — the
+        flagship GET /search result shape over the materialized index.
+        Slim indexes (no content column) return metadata without a
+        snippet; ``attach_content`` first to restore it."""
+        from search_engine_core_spark.plans.planner import scoring_terms
+
+        terms = scoring_terms(QueryParser().parse(query)) if highlight else []
+        return _meta_with_snippet(
+            self.search(query, k), self.reader.docs, terms, highlight
+        )
 
     def search_wand(self, query: str, k: int = 10) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical

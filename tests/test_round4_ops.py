@@ -128,6 +128,27 @@ class TestReferenceTestStrategyParity:
             for q, got in ex.map(one, queries):
                 assert got == want[q], q
 
+    def test_index_engine_search_with_meta_matches_inmemory(
+        self, spark, small_corpus, tmp_path
+    ):
+        """The materialized engine's GET /search result shape (metadata +
+        highlighted snippet) must equal the in-memory engine's."""
+        from search_engine_core_spark.engine import IndexSearchEngine, SearchEngine
+        from search_engine_core_spark.sources.index_io import IndexBuilder
+
+        d = str(tmp_path / "m")
+        IndexBuilder(spark, d, n_buckets=4, n_shards=2).build(small_corpus)
+        mem = SearchEngine(small_corpus)
+        idx = IndexSearchEngine(spark, d, n_buckets=4)
+        q = "spark merge"
+        a = [r.asDict() for r in mem.search_with_meta(q, 5, highlight=True).collect()]
+        b = [r.asDict() for r in idx.search_with_meta(q, 5, highlight=True).collect()]
+        assert [x["doc_id"] for x in a] == [x["doc_id"] for x in b]
+        for x, y in zip(a, b):
+            assert (x["repo"], x["path"], x["snippet"]) == (y["repo"], y["path"], y["snippet"])
+            assert "<b>" in x["snippet"]
+        mem.unpersist()
+
     def test_search_page_clamps_and_slices(self, spark, small_corpus):
         """GET /search page/limit bounds (``src/search_api.cpp:162-181``):
         limit saturates at 100, page at [1, 1000]; page N is rows
