@@ -245,6 +245,16 @@ class IndexSearchEngine(_PaginatedSearch):
             self.search(query, k), self.reader.docs, terms, highlight
         )
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """S14 over the materialized index: FT.SUGGET analog — terms with
+        the prefix from the index's df table, most frequent first. When
+        the driver-resident dictionary is loaded, a real deployment would
+        serve this with no Spark job; the DataFrame form keeps the result
+        composable."""
+        from search_engine_core_spark.operators.keywords import suggest
+
+        return suggest(self.reader.dfreq, prefix, k)
+
     def search_wand(self, query: str, k: int = 10) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical
         tokens (WAND is an OR-mode algorithm); explicit all-plain-term AND

@@ -144,7 +144,10 @@ def delta_triples(spark: SparkSession, index_dir: str) -> DataFrame:
     return deduped.join(latest, ["doc_id", "batch_id"]).select("doc_id", "term", "tf")
 
 
-class DeltaSearchEngine:
+from search_engine_core_spark.engine import _PaginatedSearch
+
+
+class DeltaSearchEngine(_PaginatedSearch):
     """The LSM READ path: answer queries over [main postings ⊎ delta
     segments] WITHOUT waiting for compaction — newly streamed documents
     are searchable as soon as their micro-batch commits, exactly like
