@@ -192,6 +192,10 @@ def emb_index(spark, emb, tmp_path_factory):
         n_bits=8,
         seed=42,
         centroid_ids=list(range(1, 17)),
+        # explicit: at 2k vectors the auto guard would (rightly) keep
+        # cell as a plain column; the plan test below asserts the NESTED
+        # layout's PartitionFilters, so force it here
+        partition_cells=True,
     ).build(emb.filter(F.col("vec_id") != 0))
     return EmbeddingIndex(spark, d)
 
@@ -277,6 +281,37 @@ class TestEmbeddingIndex:
         probes = multiprobe_buckets(qvec, emb_index.planes, 1)
         pruned = full.filter(F.col("bucket").isin(probes))
         assert 0 < pruned.count() < full.count()
+
+    def test_auto_leaf_guard_keeps_cell_as_column(self, spark, emb, qvec, tmp_path_factory):
+        """At 2k vectors the auto guard must NOT nest cell under bucket
+        (2^8 x 16 leaves of ~0.5 rows each: listing cost dwarfs the scan
+        — the measured 33x-slower-than-brute pathology); results must be
+        identical to the explicitly nested layout."""
+        from search_engine_core_spark.sources.embedding_index import (
+            EmbeddingIndex,
+            EmbeddingIndexBuilder,
+        )
+
+        d = str(tmp_path_factory.mktemp("embauto") / "e")
+        EmbeddingIndexBuilder(
+            spark, d, n_bits=8, seed=42, centroid_ids=list(range(1, 17))
+        ).build(emb.filter(F.col("vec_id") != 0))
+        idx = EmbeddingIndex(spark, d)
+        assert idx.meta["partitioned_by"] == ["bucket"]
+        import os
+
+        assert not any("cell=" in p for p in os.listdir(f"{d}/vectors") if os.path.isdir(f"{d}/vectors/{p}"))
+        got = [(r["vec_id"], r["cos_sim"]) for r in idx.ivf_topk(qvec, 10, n_probe=2).collect()]
+        from search_engine_core_spark.operators import similarity
+
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.ivf_topk(
+                emb.filter(F.col("vec_id") != 0), qvec, 10, n_probe=2,
+                centroid_ids=list(range(1, 17)),
+            ).collect()
+        ]
+        assert got == want
 
     def test_kmeans_layout_matches_adhoc(self, spark, emb, qvec, tmp_path_factory):
         """kmeans_iters>0: the builder's Lloyd-refined cells must probe
