@@ -255,10 +255,13 @@ class IndexSearchEngine(_PaginatedSearch):
 
         return suggest(self.reader.dfreq, prefix, k)
 
-    def search_wand(self, query: str, k: int = 10) -> DataFrame:
+    def search_wand(self, query: str, k: int = 10, **wand_kwargs) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical
         tokens (WAND is an OR-mode algorithm); explicit all-plain-term AND
-        queries short-circuit to the semi-join AND path."""
+        queries short-circuit to the semi-join AND path. ``wand_kwargs``
+        pass through to :meth:`WandTopK.topk` (``seed_cap``,
+        ``survivor_cap``) so the driver-byte guards are tunable without
+        reaching into the engine's internals."""
         from search_engine_core_spark.plans.planner import scoring_terms
         from search_engine_core_spark.plans.query_parser import And, Term
 
@@ -271,4 +274,4 @@ class IndexSearchEngine(_PaginatedSearch):
             or (isinstance(ast, Term) and not ast.exact)
             else "OR"
         )
-        return self.wand.topk(terms, k, mode=mode)
+        return self.wand.topk(terms, k, mode=mode, **wand_kwargs)

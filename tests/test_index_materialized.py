@@ -162,7 +162,7 @@ def test_wand_survivor_cap_overflow_rank_identical(engines, terms):
     want = [(r["doc_id"], r["score"]) for r in mem.search(query, 10).collect()]
     got = [
         (r["doc_id"], r["score"])
-        for r in idx.wand.topk(terms, 10, mode="OR", survivor_cap=0).collect()
+        for r in idx.search_wand(query, 10, survivor_cap=0).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
