@@ -51,12 +51,16 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 def kafka_packages() -> str:
     """The ``--packages`` coordinate for Structured Streaming's Kafka
-    source, pinned to the RUNNING Spark version (Spark 3.2+/4.x ship
-    Scala 2.13 artifacts). Kept callable so submit scripts never hardcode
-    a version that drifts from the installed pyspark."""
+    source, pinned to the RUNNING Spark version. The Scala suffix is
+    derived from the Spark major version: PyPI pyspark 3.x wheels are
+    built against Scala 2.12 (loading a _2.13 jar there fails at class
+    load), pyspark 4.x against 2.13. Kept callable so submit scripts
+    never hardcode a coordinate that drifts from the installed pyspark."""
     import pyspark
 
-    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    major = int(pyspark.__version__.split(".")[0])
+    scala = "2.13" if major >= 4 else "2.12"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}"
 
 
 def _spark() -> SparkSession:

@@ -19,9 +19,13 @@ from search_engine_core_spark.plans.query_parser import QueryParser
 
 
 def clamp_page_limit(page: int, limit: int) -> tuple[int, int]:
-    """The search API's bounds (``src/search_api.cpp:162-181``): limit is
-    clamped to [1, 100], page to [1, 1000] — out-of-range values saturate
-    rather than error (reference behavior)."""
+    """The search API's bounds (``src/search_api.cpp:162-181``): limit
+    [1, 100], page [1, 1000]. DOCUMENTED DEVIATION: the reference REJECTS
+    out-of-range values with a 400-style error ("Page must be between 1
+    and 1000", valid=false); this engine saturates to the nearest bound
+    instead — a DataFrame API has no request/response cycle to 400 on,
+    and clamping keeps batch callers total. The bounds themselves are the
+    reference's."""
     return max(1, min(1000, int(page))), max(1, min(100, int(limit)))
 
 

@@ -286,7 +286,11 @@ def ngram_jaccard_pairs(
       two equi-joins on doc_id, never an all-pairs join. Recall at the
       0.8 threshold with 128 perms / 32 bands of 4: ≈ 1-(1-0.8⁴)³² > 0.999.
 
-    Pass ``lsh_above=None`` to force length-blocking regardless of size.
+    EXACTNESS CHANGE ABOVE ``lsh_above`` ROWS: the LSH route has recall
+    < 1 (pairs whose bands never collide are missed) and ``max_bucket``
+    truncation — callers that need exact length-blocked semantics at any
+    size must pass ``lsh_above=None``. The switch emits a
+    ``RuntimeWarning`` so it is visible at call time, not just here.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -295,7 +299,24 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = F.round(inter.cast("double") / uni, 4)
-    if block_col is None and lsh_above is not None and docs.count() > lsh_above:
+    # bounded existence probe, not a full count: limit(n+1).count() stops
+    # scanning once n+1 rows are seen, so small inputs pay a tiny job and
+    # big inputs never pay a full-table count just to pick the route
+    if (
+        block_col is None
+        and lsh_above is not None
+        and docs.limit(lsh_above + 1).count() > lsh_above
+    ):
+        import warnings
+
+        warnings.warn(
+            f"ngram_jaccard_pairs: input exceeds lsh_above={lsh_above} rows — "
+            "switching to approximate MinHash-LSH candidate generation "
+            "(recall < 1, max_bucket truncation); pass lsh_above=None for "
+            "exact length-blocked pairs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         cand = minhash_lsh_pairs(
             docs, text_col, id_col, n_perm=n_perm, max_bucket=max_bucket
         )

@@ -296,3 +296,34 @@ def test_positions_scan_is_bucket_pruned(spark, pos_indexes):
     )
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_batch_decode_identical_to_rowwise():
+    """r5: the segmented-numpy batch decode (one vb_decode over the
+    concatenated streams + reset-cumsum) is value-identical to the
+    per-row reference twin, including empty rows and row-order."""
+    import numpy as np
+
+    from search_engine_core_spark.functions.varbyte import vb_encode
+    from search_engine_core_spark.operators.positions import (
+        _decode_positions_rowwise,
+        decode_positions_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for _ in range(200):
+        n = int(rng.integers(0, 12))
+        pos = np.sort(rng.choice(5000, size=n, replace=False)).astype(np.uint64)
+        deltas = np.diff(pos, prepend=np.uint64(0))
+        if n:
+            deltas[0] = pos[0]
+        rows.append((n, vb_encode(deltas), pos.astype(np.int64)))
+    npos = np.array([r[0] for r in rows], dtype=np.int64)
+    bufs = [r[1] for r in rows]
+    got = decode_positions_batch(npos, bufs)
+    ref = _decode_positions_rowwise(npos, bufs)
+    assert len(got) == len(ref) == len(rows)
+    for g, r, (_, _, expect) in zip(got, ref, rows):
+        assert np.array_equal(g, r)
+        assert np.array_equal(np.asarray(g, dtype=np.int64), expect)

@@ -151,8 +151,10 @@ class TestReferenceTestStrategyParity:
 
     def test_search_page_clamps_and_slices(self, spark, small_corpus):
         """GET /search page/limit bounds (``src/search_api.cpp:162-181``):
-        limit saturates at 100, page at [1, 1000]; page N is rows
-        [(N-1)*limit, N*limit) of the deterministic full ordering."""
+        limit in [1, 100], page in [1, 1000]; page N is rows
+        [(N-1)*limit, N*limit) of the deterministic full ordering.
+        Documented deviation: the reference 400-rejects out-of-range
+        values; we saturate to the bound (see ``clamp_page_limit``)."""
         from search_engine_core_spark.engine import SearchEngine, clamp_page_limit
 
         assert clamp_page_limit(0, 500) == (1, 100)
