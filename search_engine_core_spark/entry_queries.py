@@ -26,18 +26,25 @@ keep the two engines hash-identical:
 
 from __future__ import annotations
 
+import hashlib
+import json
+import math
+import os
+import shutil
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_core_spark.corpus import documents_as_corpus
-from search_engine_core_spark.engine import SearchEngine
+from search_engine_core_spark.engine import IndexSearchEngine, SearchEngine
 from search_engine_core_spark.functions import text_quality as tq
 from search_engine_core_spark.functions.tokenizer import tokenize_expr
 from search_engine_core_spark.operators import dedup, keywords, similarity
 
 _ENGINES: dict[str, SearchEngine] = {}
+_INDEX_ENGINES: dict[str, IndexSearchEngine] = {}
 
 # DuckDB fragment: canonical tokenizer (matches tokenize_expr).
 TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) >= 2)"
@@ -47,6 +54,97 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if sf_dir not in _ENGINES:
         _ENGINES[sf_dir] = SearchEngine(documents_as_corpus(spark, sf_dir))
     return _ENGINES[sf_dir]
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents table (file names +
+    sizes + mtimes) — invalidates the on-disk index cache when the driver
+    regenerates testdata between rounds."""
+    p = Path(sf_dir) / "documents.parquet"
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    parts = [
+        (f.name, f.stat().st_size, int(f.stat().st_mtime)) for f in files if f.is_file()
+    ]
+    return hashlib.sha256(repr(parts).encode()).hexdigest()[:16]
+
+
+def _index_engine(spark: SparkSession, sf_dir: str) -> IndexSearchEngine:
+    """The PRODUCTION query engine for the retrieval oracles: a
+    materialized compressed-postings index (+ positional sidecar) built
+    once per sf_dir and cached on disk, answered by ``IndexSearchEngine``
+    (r4 VERDICT "What's missing" #1 — previously every driver row ran the
+    in-memory twin and the flagship index+WAND path was only transitively
+    validated). The reference's flagship query runs against the real
+    index the same way (``src/search_api.cpp:194-378``)."""
+    eng = _INDEX_ENGINES.get(sf_dir)
+    if eng is not None:
+        return eng
+    root = os.environ.get(
+        "SECS_DRIVER_INDEX_ROOT",
+        str(Path(__file__).resolve().parent.parent / ".driver_index_cache"),
+    )
+    idx_dir = str(Path(root) / (Path(sf_dir).name or "sf"))
+    fp_file = Path(idx_dir) / "_corpus_fp.json"
+    fp = _corpus_fingerprint(sf_dir)
+    fresh = False
+    if fp_file.exists():
+        try:
+            fresh = json.loads(fp_file.read_text()).get("fp") == fp
+        except Exception:
+            fresh = False
+    if not fresh:
+        from search_engine_core_spark.sources.index_io import IndexBuilder
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        IndexBuilder(spark, idx_dir, n_buckets=8, store_positions=True).build(
+            documents_as_corpus(spark, sf_dir)
+        )
+        fp_file.write_text(json.dumps({"fp": fp}))
+    eng = IndexSearchEngine(spark, idx_dir, n_buckets=8)
+    _INDEX_ENGINES[sf_dir] = eng
+    return eng
+
+
+def _assert_reads_postings(eng: IndexSearchEngine, terms: list[str]) -> None:
+    """Hard in-entry proof that the entry answers from the materialized
+    compressed postings: the query terms' postings scan must be a
+    FileScan of the index's postings dir WITH bucket partition pruning.
+    (The scored plan itself hides the scan behind the one-decode
+    localCheckpoint, so the assertion targets the scan the planner is
+    built from.) A regression here turns the driver row red."""
+    plan = (
+        eng.reader.postings_for_terms(terms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "postings" in plan, "retrieval does not scan the postings index"
+    assert "PartitionFilters" in plan and "bucket" in plan, (
+        "postings scan is not bucket-partition-pruned"
+    )
+
+
+def _assert_wand_identity(
+    eng: IndexSearchEngine, terms: list[str], mode: str, scored: DataFrame, k: int
+) -> None:
+    """Driver-visible WAND validation: block-max WAND's top-k over the
+    compressed index must be rank-identical (doc ids exact, scores to
+    1e-9 rel) to the full scored set's raw-score top-k — same contract as
+    ``tests/test_index_materialized.py::test_wand_matches_naive``, but
+    now a failure is a RED DRIVER ROW, not a pytest-only fact."""
+    naive = [
+        (r["doc_id"], r["score"])
+        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.wand.topk(terms, k, mode=mode).collect()
+    ]
+    assert [g[0] for g in got] == [n[0] for n in naive], (
+        f"WAND rank mismatch: {got} vs {naive}"
+    )
+    for (_, gs), (_, ns) in zip(got, naive):
+        assert math.isclose(gs, ns, rel_tol=1e-9), f"WAND score drift: {gs} vs {ns}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,10 +208,28 @@ _CAND_ALL = "SELECT doc_id FROM tok WHERE term IN ({t}) GROUP BY doc_id HAVING c
 
 
 def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25"):
+    """Retrieval oracle over the PRODUCTION path: parse -> decode the
+    query terms' compressed postings (partition-pruned scan of the
+    materialized index) -> score -> rounded deterministic top-k. For
+    WAND-eligible shapes the block-max WAND result is cross-checked
+    in-entry against the scored set (any divergence = red driver row).
+    The oracle SQL is unchanged: ranks are identical to the in-memory
+    twin by construction (decode correctness is exactly what this now
+    puts under the hard signal)."""
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        eng = _engine(spark, sf_dir)
-        ast = eng.planner.parser.parse(query)
-        return _ranked(eng.planner.scored_ast(ast, algorithm), k)
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import QueryParser
+
+        eng = _index_engine(spark, sf_dir)
+        ast = QueryParser().parse(query)
+        terms = scoring_terms(ast)
+        _assert_reads_postings(eng, terms)
+        scored = eng._planner(terms).scored_ast(ast, algorithm)
+        mode = eng._wand_mode(ast)
+        if algorithm == "bm25" and mode is not None:
+            _assert_wand_identity(eng, terms, mode, scored, k)
+        return _ranked(scored, k)
 
     return fn
 
