@@ -110,6 +110,11 @@ class IndexSearchEngine(_PaginatedSearch):
     ``search_wand`` is the block-max pruned path for plain term queries.
     """
 
+    # WAND's final top-k is merged on the driver (bounded collects) —
+    # the right trade at API-sized k. Past this cap, search() keeps the
+    # distributed planner plan instead (see search()).
+    WAND_DRIVER_K_CAP = 10_000
+
     def __init__(
         self,
         spark,
@@ -203,12 +208,17 @@ class IndexSearchEngine(_PaginatedSearch):
             return fielded_topk(self.reader.docs, query, k, trip=trip)
         ast = QueryParser().parse(query)
         mode = self._wand_mode(ast)
-        if algorithm == "bm25" and mode is not None:
+        if algorithm == "bm25" and mode is not None and k <= self.WAND_DRIVER_K_CAP:
             # pure term-only AND/OR shapes route through block-max WAND:
             # rank-identical by construction (test-pinned) and cheaper —
             # only the rarest term ever fully decodes. Mixed precedence,
             # phrases, filters and non-bm25 scorers stay on the general
-            # planner.
+            # planner. Above WAND_DRIVER_K_CAP (deep pagination:
+            # search_page at the clamp ceiling asks k = 1000*100) the
+            # planner path wins — it returns a fully distributed
+            # TakeOrdered plan with NO driver materialization, where
+            # WAND's final merge would pull k rows through the driver
+            # per query.
             return self.wand.topk(scoring_terms(ast), k, mode=mode)
         return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
 

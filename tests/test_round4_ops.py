@@ -341,3 +341,38 @@ class TestEmbeddingIndex:
             (r["vec_id"], r["cos_sim"]) for r in idx.ivf_topk(qvec, 10, n_probe=2).collect()
         ]
         assert got == want and len(got) == 10
+
+
+def test_deep_pagination_stays_distributed(spark, small_corpus, tmp_path):
+    """r5: search_page at the clamp ceiling (page 1000 x limit 100 ->
+    k = 100_000) must NOT route through WAND's driver-side merge — the
+    plan stays a distributed TakeOrdered with no LocalTableScan of
+    collected rows; small k keeps the WAND route (LocalTableScan of the
+    merged top-k). Rank prefix is identical either way."""
+    from search_engine_core_spark.engine import IndexSearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+
+    d = str(tmp_path / "deep_idx")
+    IndexBuilder(spark, d, n_buckets=4, n_shards=2).build(small_corpus)
+    eng = IndexSearchEngine(spark, d, n_buckets=4)
+
+    deep = eng.search_page("spark merge", page=1000, limit=100)
+    plan = deep._jdf.queryExecution().executedPlan().toString()
+    # the k=100_000 result comes off a distributed TakeOrdered, never a
+    # driver-collected local table (the decoded QUERY-TERM triples behind
+    # the localCheckpoint are bounded and fine — the result rows are not)
+    assert "TakeOrderedAndProject" in plan
+
+    shallow = eng.search("spark merge", 10)
+    splan = shallow._jdf.queryExecution().executedPlan().toString()
+    # small k keeps the WAND route: result IS a driver-merged local table
+    assert "TakeOrderedAndProject" not in splan
+    assert "LocalTableScan" in splan or "Scan ExistingRDD" in splan
+
+    # first-page rows agree between the two routes
+    a = [(r["doc_id"], round(r["score"], 9)) for r in shallow.collect()]
+    b = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search_page("spark merge", page=1, limit=10).collect()
+    ]
+    assert a == b
