@@ -113,6 +113,7 @@ def main() -> None:
     from search_engine_core_spark.streaming.incremental import (
         DeltaSearchEngine,
         compact_deltas,
+        minor_compact,
         start_incremental_index,
     )
 
@@ -141,6 +142,26 @@ def main() -> None:
         _timed(lambda: deng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
     )
     timings["lsm_query_delta"] = round(dt, 3)
+    # minor compaction: fold level-0 into an immutable compressed segment —
+    # cost scales with the DELTA (n_delta docs), never the main index
+    # (r5; compare with lsm_compact, the full-rewrite major path below)
+    timings["lsm_compact_minor"] = round(
+        _timed(
+            lambda: minor_compact(
+                spark,
+                index_dir,
+                n_buckets=8,
+                hot_df_threshold=max(1000, n_docs // 10),
+                n_shards=cores,
+            )
+        ),
+        3,
+    )
+    seng = DeltaSearchEngine(spark, index_dir, n_buckets=8)
+    dt = min(
+        _timed(lambda: seng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
+    )
+    timings["lsm_query_segment"] = round(dt, 3)
     timings["lsm_compact"] = round(
         _timed(
             lambda: compact_deltas(
@@ -171,6 +192,15 @@ def main() -> None:
     for df in (eng01.docs, eng01.trip, eng01.dfreq):
         df.count()
     timings["engine_open"] = round(time.monotonic() - t0, 3)
+
+    # r5: q01-q06 answer from the materialized index — surface the driver
+    # index open (build on a cold cache, else reader warmup) as its own
+    # line so q01's min-of-2 below measures warm per-query latency
+    from search_engine_core_spark.entry_queries import _index_engine
+
+    timings["driver_index_open"] = round(
+        _timed(lambda: _index_engine(spark, sf_dir)), 3
+    )
 
     qs = build_queries()
     for name in ["q01_bm25_or_topk", "q26_cosine_bruteforce_topk", "q33_lineitem_rollup"]:
