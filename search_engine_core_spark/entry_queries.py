@@ -760,16 +760,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extract_features runs the REAL distributed plumbing (binary column
         # through Arrow record batches into a Python decode stub); the
         # deterministic payload_sha256 it emits is what the oracle checks.
+        # r5: the audio rows additionally run the REAL WAV codec — RIFF
+        # chunk walk + 16-bit PCM parse in pure struct/numpy over
+        # deterministic WAVE payloads — and the oracle recomputes the
+        # decoded header fields AND the PCM checksum from ground truth.
         from search_engine_core_spark.operators import multimodal as mm
 
         media = mm.synthesize_media(_docs(spark, sf_dir))
         feats = mm.extract_features(media, dim=8, fake=True)
+        wav = mm.wav_features(
+            mm.synthesize_wav_media(
+                _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), 3) == 1)
+            )
+        ).select("doc_id", "sample_rate", "duration_ms", "pcm_sum")
         return feats.select(
             "doc_id",
             "media_type",
             F.col("feat_dim").cast("long").alias("feat_dim"),
             "payload_sha256",
-        )
+        ).join(wav, "doc_id", "left")
 
     q["q47_multimodal_features"] = q47
 
@@ -1525,14 +1534,31 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
     # q47: the payload is synthesize_media's deterministic 256-byte ASCII-hex
     # stream (sha256(doc_id) repeated, truncated); payload_sha256 is what the
     # Arrow mapInPandas stub computed with hashlib — recomputed here natively.
+    # r5: the audio rows' sample_rate / duration_ms / pcm_sum come from the
+    # REAL WAV codec (RIFF chunk walk + int16 PCM parse) on the Spark side;
+    # the oracle recomputes them from synthesize_wav_media's ground-truth
+    # formulas — sample_rate = 8000 + (id%5)*1000, n = 500 + (id%2000),
+    # pcm_sum = Σ_i (id*31 + i*7) mod 65536 - 32768 — so a header- or
+    # sample-parse regression is a red row, not just a wrong sha.
     o["q47_multimodal_features"] = """
-SELECT doc_id,
-       CASE (doc_id % 3) WHEN 0 THEN 'image/png'
-                         WHEN 1 THEN 'audio/wav'
-                         ELSE 'video/mp4' END AS media_type,
+WITH idx AS (SELECT i FROM range(2500) t(i)),
+wav AS (
+  SELECT d.doc_id,
+         (8000 + (d.doc_id % 5) * 1000)::BIGINT AS sample_rate,
+         (((500 + (d.doc_id % 2000)) * 1000) // (8000 + (d.doc_id % 5) * 1000))::BIGINT
+           AS duration_ms,
+         sum((d.doc_id * 31 + t.i * 7) % 65536 - 32768)::BIGINT AS pcm_sum
+  FROM documents d JOIN idx t ON t.i < 500 + (d.doc_id % 2000)
+  WHERE d.doc_id % 3 = 1
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CASE (d.doc_id % 3) WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS media_type,
        8::BIGINT AS feat_dim,
-       sha256(substring(repeat(sha256(doc_id::VARCHAR), 9), 1, 256)) AS payload_sha256
-FROM documents
+       sha256(substring(repeat(sha256(d.doc_id::VARCHAR), 9), 1, 256)) AS payload_sha256,
+       w.sample_rate, w.duration_ms, w.pcm_sum
+FROM documents d LEFT JOIN wav w USING (doc_id)
 """
     # q48: one row per sampled frame timestamp for video docs;
     # n_frames = trunc(duration_ms/1000) + 1 (Spark int cast truncates;
