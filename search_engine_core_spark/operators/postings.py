@@ -376,13 +376,16 @@ def build_postings(
     return arranged.mapInArrow(lambda it: _encode_partition(it, bucket_col), schema)
 
 
-def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+def _decode_chunk(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFrame | None:
     """Segmented-vectorized decode of a whole pandas batch of postings rows
     — the decoder mirror of ``_encode_chunk_arrow``: ONE varbyte decode over
     the batch's concatenated gap/tf streams, doc_ids via a reset-at-block
     cumsum, ZERO per-row Python loops (the old ``to_dict('records')`` loop
     paid per-posting-row Python dispatch, fatal on the compaction/
-    equivalence paths where rows = every term in the index)."""
+    equivalence paths where rows = every term in the index).
+
+    ``carry``: extra row-level columns (e.g. an LSM segment id) repeated
+    onto every emitted triple, same np.repeat idiom as ``term``."""
     if pdf.empty:
         return None
     from search_engine_core_spark.functions.varbyte import vb_decode as _vbd
@@ -405,13 +408,14 @@ def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
     cs = np.cumsum(vals, dtype=np.uint64)
     blk_of = np.cumsum(is_start) - 1
     u = cs - cs[block_starts[blk_of]] + vals[block_starts[blk_of]]
-    return pd.DataFrame(
-        {
-            "doc_id": unbias(u),
-            "term": np.repeat(pdf["term"].to_numpy(), df_row),
-            "tf": tf_all.astype(np.int64),
-        }
-    )
+    out = {
+        "doc_id": unbias(u),
+        "term": np.repeat(pdf["term"].to_numpy(), df_row),
+        "tf": tf_all.astype(np.int64),
+    }
+    for c in carry:
+        out[c] = np.repeat(pdf[c].to_numpy(), df_row)
+    return pd.DataFrame(out)
 
 
 def _multi_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -506,18 +510,28 @@ def decode_masked_batch(pdf: pd.DataFrame, block_mask_fn):
     return unbias(u), tf_vals, val_row
 
 
-def decode_postings_df(postings: DataFrame) -> DataFrame:
+def decode_postings_df(postings: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Postings rows -> (doc_id, term, tf) triples via Arrow mapInPandas —
     the inverse of build_postings; used by the materialized query path and
-    the salted-vs-unsalted equivalence test."""
+    the salted-vs-unsalted equivalence test. ``carry`` names extra
+    row-level columns of ``postings`` (e.g. the LSM ``seg`` partition id)
+    replicated onto each emitted triple — this lets the segment-tiered
+    read path decode ALL segments in ONE scan and apply doc-level
+    latest-wins precedence with a single (doc_id, seg) semi-join instead
+    of a per-segment scan+join ladder."""
+    carry = tuple(carry)
 
     def gen(batches):
         for pdf in batches:
-            out = _decode_chunk(pdf)
+            out = _decode_chunk(pdf, carry)
             if out is not None:
                 yield out
 
-    return postings.mapInPandas(gen, "doc_id long, term string, tf long")
+    by_name = {f.name: f.dataType.simpleString() for f in postings.schema.fields}
+    schema = "doc_id long, term string, tf long" + "".join(
+        f", {c} {by_name[c]}" for c in carry
+    )
+    return postings.mapInPandas(gen, schema)
 
 
 def decode_postings_for_docs(postings: DataFrame, target_ids) -> DataFrame:

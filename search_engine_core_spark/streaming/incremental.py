@@ -368,6 +368,18 @@ class DeltaSearchEngine(_PaginatedSearch):
         if self.seg_docs is not None:
             sup = sup.unionByName(self.seg_docs.select("doc_id")).distinct()
         self._sup_main = sup.localCheckpoint(eager=True)
+        # the (doc_id -> latest live segment) map is query-invariant:
+        # materialize it once at engine open so each query applies
+        # latest-wins precedence with ONE semi-join against a tiny
+        # checkpointed map instead of re-running the per-segment joins
+        if self.seg_docs is not None:
+            self._live_seg_map = (
+                self.seg_docs.select("doc_id", "seg")
+                .join(self.delta_docs.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            self._live_seg_map = None
         # every column the sides share survives (lang/repo filters,
         # content for phrase verify + snippets); engine-specific extras drop
         common = [c for c in self.reader.docs.columns if c in self.delta_docs.columns]
@@ -395,25 +407,18 @@ class DeltaSearchEngine(_PaginatedSearch):
 
         self.stats = CorpusStats(n_docs=int(agg["n"]), avgdl=float(agg["avgdl"] or 1.0))
 
-    def _seg_scan(self, artifact: str, seg: int, terms: list[str]) -> DataFrame:
-        """Bucket- and seg-pruned scan of one segment's postings or
-        positions tree (same pruning discipline as the main reader)."""
+    def _seg_scan(self, artifact: str, terms: list[str]) -> DataFrame:
+        """Bucket- and seg-pruned scan of ALL live segments' postings or
+        positions tree in one pass (same pruning discipline as the main
+        reader; the ``seg`` partition column rides along for latest-wins
+        precedence downstream)."""
         root = f"{self.index_dir}/segments/{artifact}"
         df = self.spark.read.option("basePath", root).parquet(root)
         buckets = sorted({self._term_bucket(t, self.n_buckets) for t in terms})
         return df.filter(
-            (F.col("seg") == seg)
+            F.col("seg").isin(self.seg_ids)
             & F.col("bucket").isin(buckets)
             & F.col("term").isin(terms)
-        )
-
-    def _live_seg_ids(self, seg: int) -> DataFrame:
-        """doc_ids live IN segment ``seg``: latest segment == seg and not
-        superseded by the live delta."""
-        return (
-            self.seg_docs.filter(F.col("seg") == seg)
-            .select("doc_id")
-            .join(self.delta_docs.select("doc_id"), "doc_id", "left_anti")
         )
 
     def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
@@ -427,12 +432,18 @@ class DeltaSearchEngine(_PaginatedSearch):
             trip = decode_postings_df(self.reader.postings_for_terms(terms)).join(
                 self._sup_main, "doc_id", "left_anti"
             )
-            if self.seg_docs is not None:
-                for s in self.seg_ids:
-                    seg_trip = decode_postings_df(
-                        self._seg_scan("postings", s, terms)
-                    ).join(self._live_seg_ids(s), "doc_id", "left_semi")
-                    trip = trip.unionByName(seg_trip)
+            if self.seg_docs is not None and self.seg_ids:
+                # ONE scan+decode across every segment; a triple survives
+                # iff its (doc, seg) is the doc's latest live segment —
+                # per-tier cost no longer grows with segment count
+                seg_trip = (
+                    decode_postings_df(
+                        self._seg_scan("postings", terms), carry=("seg",)
+                    )
+                    .join(self._live_seg_map, ["doc_id", "seg"], "left_semi")
+                    .drop("seg")
+                )
+                trip = trip.unionByName(seg_trip)
             trip = trip.unionByName(
                 self.delta.filter(F.col("term").isin(terms))
             ).localCheckpoint(eager=True)
@@ -475,16 +486,17 @@ class DeltaSearchEngine(_PaginatedSearch):
                 .select(*cols)
                 .join(self._sup_main, "doc_id", "left_anti")
             )
-            if self.seg_docs is not None and os.path.isdir(
+            if self.seg_docs is not None and self.seg_ids and os.path.isdir(
                 f"{self.index_dir}/segments/positions"
             ):
-                for s in self.seg_ids:
-                    seg_pos = (
-                        self._seg_scan("positions", s, uniq)
-                        .select(*cols)
-                        .join(self._live_seg_ids(s), "doc_id", "left_semi")
-                    )
-                    pos = pos.unionByName(seg_pos)
+                # position rows carry doc_id directly — latest-wins is one
+                # (doc_id, seg) semi-join on the single all-segments scan
+                seg_pos = (
+                    self._seg_scan("positions", uniq)
+                    .join(self._live_seg_map, ["doc_id", "seg"], "left_semi")
+                    .select(*cols)
+                )
+                pos = pos.unionByName(seg_pos)
             if "content" in self.delta_docs.columns:
                 delta_pos = (
                     self.delta_docs.select("doc_id", "content")
@@ -538,34 +550,25 @@ def compact_deltas(
     # ---- update tiers: delta on top of the segments (latest seg wins) ----
     updates = delta
     seg_docs_all = _segment_docs(spark, index_dir) if seg_ids else None
-    seg_trips: dict[int, DataFrame] = {}
     if seg_ids:
         seg_root = f"{index_dir}/segments/postings"
         seg_post = spark.read.option("basePath", seg_root).parquet(seg_root)
-        for s in seg_ids:
-            # decoded once, referenced for ids + triples: materialize
-            seg_trips[s] = decode_postings_df(
-                seg_post.filter(F.col("seg") == s)
-            ).localCheckpoint(eager=True)
+        # ONE decode across every segment (seg carried onto each triple);
+        # referenced twice below, so materialize once
+        seg_tr = decode_postings_df(
+            seg_post.filter(F.col("seg").isin(seg_ids)), carry=("seg",)
+        ).localCheckpoint(eager=True)
         if seg_docs_all is not None:
             pairs = seg_docs_all.select("doc_id", "seg")
         else:  # triples-only stream: derive doc sets from the postings
-            pairs = None
-            for s in seg_ids:
-                p = seg_trips[s].select("doc_id").distinct().withColumn(
-                    "seg", F.lit(s)
-                )
-                pairs = p if pairs is None else pairs.unionByName(p)
+            pairs = seg_tr.select("doc_id", "seg").distinct()
         latest = pairs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
-        for s in seg_ids:
-            live_s = (
-                latest.filter(F.col("seg") == s)
-                .select("doc_id")
-                .join(delta_ids, "doc_id", "left_anti")
-            )
-            updates = updates.unionByName(
-                seg_trips[s].join(live_s, "doc_id", "left_semi")
-            )
+        # a segment triple survives iff its (doc, seg) is the doc's
+        # LATEST segment and the doc is not superseded by the delta
+        live = latest.join(delta_ids, "doc_id", "left_anti")
+        updates = updates.unionByName(
+            seg_tr.join(live, ["doc_id", "seg"], "left_semi").drop("seg")
+        )
         updated_ids = delta_ids.unionByName(pairs.select("doc_id")).distinct()
     else:
         updated_ids = delta_ids

@@ -112,6 +112,20 @@ def test_segment_tiered_lsm_rank_identity(spark, tmp_path, small_corpus):
     assert _segment_ids(idx) == [0, 1, 2]
     _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "3seg+empty-delta")
 
+    # structural pin: however many segments exist, a query runs exactly
+    # TWO postings decodes — main + ONE all-segments scan (seg carried,
+    # latest-wins via a single (doc_id, seg) semi-join), never a
+    # per-segment decode ladder
+    import search_engine_core_spark.operators.postings as _P
+
+    calls, orig = [], _P.decode_postings_df
+    try:
+        _P.decode_postings_df = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        DeltaSearchEngine(spark, idx, n_buckets=4).search("spark merge", 10).collect()
+    finally:
+        _P.decode_postings_df = orig
+    assert len(calls) == 2, calls
+
     compact_deltas(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4)
     assert _segment_ids(idx) == []
     _check(IndexSearchEngine(spark, idx, n_buckets=4), want, "post-major")
