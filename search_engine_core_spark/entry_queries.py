@@ -45,6 +45,7 @@ from search_engine_core_spark.operators import dedup, keywords, similarity
 
 _ENGINES: dict[str, SearchEngine] = {}
 _INDEX_ENGINES: dict[str, IndexSearchEngine] = {}
+_LSM_ENGINES: dict[str, object] = {}
 
 # DuckDB fragment: canonical tokenizer (matches tokenize_expr).
 TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) >= 2)"
@@ -147,6 +148,98 @@ def _assert_wand_identity(
         assert math.isclose(gs, ns, rel_tol=1e-9), f"WAND score drift: {gs} vs {ns}"
 
 
+def _lsm_engine(spark: SparkSession, sf_dir: str):
+    """Per-sf TIERED index for the driver-visible LSM check: main index
+    over 6/8 of the corpus, a minor-compacted immutable segment holding
+    STALE versions of bucket-0 docs plus the true bucket-1 docs, and a
+    live delta whose true bucket-0 versions supersede the segment's stale
+    rows. The logically-current view is therefore exactly the full
+    documents table — so the unchanged DuckDB oracle doubles as the
+    ground truth for the whole [main ∖ superseded ⊎ segment ⊎ delta]
+    precedence chain. Tiers are written in the delta layout directly
+    (the streaming file source re-derives doc_id from repo/path/commit,
+    which the driver table does not carry; the on-disk contract is the
+    same either way)."""
+    eng = _LSM_ENGINES.get(sf_dir)
+    if eng is not None:
+        return eng
+    from search_engine_core_spark.operators.stats import triples
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        minor_compact,
+    )
+
+    root = os.environ.get(
+        "SECS_DRIVER_INDEX_ROOT",
+        str(Path(__file__).resolve().parent.parent / ".driver_index_cache"),
+    )
+    idx_dir = str(Path(root) / ((Path(sf_dir).name or "sf") + "_lsm"))
+    fp_file = Path(idx_dir) / "_corpus_fp.json"
+    fp = _corpus_fingerprint(sf_dir)
+    fresh = False
+    if fp_file.exists():
+        try:
+            fresh = json.loads(fp_file.read_text()).get("fp") == fp
+        except Exception:
+            fresh = False
+    if not fresh:
+        from search_engine_core_spark.sources.index_io import IndexBuilder
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        corpus = documents_as_corpus(spark, sf_dir)
+        h = F.pmod(F.col("doc_id"), F.lit(8))
+        IndexBuilder(spark, idx_dir, n_buckets=8).build(corpus.filter(~h.isin(0, 1)))
+
+        def append_batch(docs_df: DataFrame, batch_id: int) -> None:
+            triples(docs_df).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(f"{idx_dir}/delta")
+            docs_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(f"{idx_dir}/delta_docs")
+
+        stale0 = corpus.filter(h == 0).withColumn(
+            "content", F.concat(F.lit("stalemarker xyzzyterm "), F.col("content"))
+        )
+        stale0 = stale0.withColumn(
+            "doclen", F.size(tokenize_expr("content"))
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        append_batch(stale0.unionByName(corpus.filter(h == 1)), 0)
+        minor_compact(spark, idx_dir, n_buckets=8)
+        append_batch(corpus.filter(h == 0), 1)  # true versions supersede
+        fp_file.write_text(json.dumps({"fp": fp}))
+    eng = DeltaSearchEngine(spark, idx_dir, n_buckets=8)
+    _LSM_ENGINES[sf_dir] = eng
+    return eng
+
+
+def _assert_lsm_identity(
+    spark: SparkSession, sf_dir: str, query: str, scored: DataFrame, k: int
+) -> None:
+    """Driver-visible LSM read-path validation: the segment-tiered
+    engine's top-k over [main ∖ superseded ⊎ segment (stale rows
+    superseded by the delta) ⊎ live delta] must be rank-identical to the
+    batch-index scored set — same contract as
+    ``tests/test_round5_ops.py::test_segment_tiered_lsm_rank_identity``,
+    but a precedence/merge regression here is a RED DRIVER ROW. The
+    segment deliberately holds STALE content (extra tokens shift doclen,
+    df and every BM25 score), so leaking a superseded row or dropping a
+    live segment row both surface as drift."""
+    naive = [
+        (r["doc_id"], r["score"])
+        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in _lsm_engine(spark, sf_dir).search(query, k).collect()
+    ]
+    assert [g[0] for g in got] == [n[0] for n in naive], (
+        f"LSM rank mismatch: {got} vs {naive}"
+    )
+    for (_, gs), (_, ns) in zip(got, naive):
+        assert math.isclose(gs, ns, rel_tol=1e-9), f"LSM score drift: {gs} vs {ns}"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -207,7 +300,7 @@ _CAND_ANY = "SELECT DISTINCT doc_id FROM tok WHERE term IN ({t})"
 _CAND_ALL = "SELECT doc_id FROM tok WHERE term IN ({t}) GROUP BY doc_id HAVING count(DISTINCT term) = {n}"
 
 
-def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25"):
+def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25", lsm_check: bool = False):
     """Retrieval oracle over the PRODUCTION path: parse -> decode the
     query terms' compressed postings (partition-pruned scan of the
     materialized index) -> score -> rounded deterministic top-k. For
@@ -215,7 +308,10 @@ def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25"):
     in-entry against the scored set (any divergence = red driver row).
     The oracle SQL is unchanged: ranks are identical to the in-memory
     twin by construction (decode correctness is exactly what this now
-    puts under the hard signal)."""
+    puts under the hard signal). ``lsm_check`` additionally runs the same
+    query through the segment-tiered ``DeltaSearchEngine``
+    (:func:`_lsm_engine`) and asserts rank identity — the LSM read path
+    under the hard signal too (r5)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from search_engine_core_spark.plans.planner import scoring_terms
@@ -229,6 +325,8 @@ def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25"):
         mode = eng._wand_mode(ast)
         if algorithm == "bm25" and mode is not None:
             _assert_wand_identity(eng, terms, mode, scored, k)
+        if lsm_check and algorithm == "bm25":
+            _assert_lsm_identity(spark, sf_dir, query, scored, k)
         return _ranked(scored, k)
 
     return fn
@@ -239,10 +337,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # --- retrieval + scoring (J1/J2, F5-F7, O1-O3, §2.9 DSL) ---
+    # lsm_check rides the NON-benched rows (q03/q04) so the benched q01
+    # line keeps the semantics recorded in BENCH/BASELINE.md; between
+    # them the tiered read path covers implicit-AND and mixed AND/OR
+    # (the OR union shape is inside q04's DSL evaluation)
     q["q01_bm25_or_topk"] = _q_bm25("spark OR merge OR join")
     q["q02_bm25_and_topk"] = _q_bm25("spark AND merge AND join")
-    q["q03_bm25_implicit_and"] = _q_bm25("table scan")
-    q["q04_bm25_mixed_precedence"] = _q_bm25("spark AND merge OR window")
+    q["q03_bm25_implicit_and"] = _q_bm25("table scan", lsm_check=True)
+    q["q04_bm25_mixed_precedence"] = _q_bm25("spark AND merge OR window", lsm_check=True)
     q["q05_bm25_phrase"] = _q_bm25('"table scan" merge')
     q["q06_bm25_field_filter"] = _q_bm25("lang:es spark")
 

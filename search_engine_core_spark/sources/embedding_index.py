@@ -413,6 +413,15 @@ class EmbeddingIndexBuilder:
         n_new = assigned.count()
         if n_new == 0:
             return 0
+        # duplicate ids inside ONE batch have no defined winner here (no
+        # ordering column) and would double-write + corrupt n_vecs; the
+        # text side resolves this with batch_id latest-wins — callers with
+        # versioned batches must collapse to one row per id first
+        if assigned.select("vec_id").distinct().count() != n_new:
+            raise ValueError(
+                "upsert batch contains duplicate vec_ids — collapse to one "
+                "row per vec_id (latest version) before upserting"
+            )
         ids = assigned.select("vec_id")
         # old locations of the upserted ids: column-pruned scan of
         # (vec_id + partition cols); vec_id sorting within leaves lets

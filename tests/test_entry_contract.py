@@ -127,3 +127,28 @@ def test_retrieval_rows_run_on_materialized_index(spark):
     # the driver index stores the positional sidecar: phrases (q05) are
     # adjacency-prefiltered from the index, not content-only
     assert eng.reader.has_positions()
+
+
+def test_lsm_check_runs_on_tiered_cache(spark):
+    """r5: q01/q03 additionally assert rank identity against
+    ``DeltaSearchEngine`` over a per-sf TIERED cache (main over 6/8 of
+    the corpus, a minor-compacted segment with stale versions, a live
+    delta with the true versions). Pin that the cache the driver row
+    exercised really has all three tiers — an accidental empty delta or
+    segment would make the in-entry assert vacuous."""
+    from search_engine_core_spark import entry_queries as eq
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        _segment_ids,
+    )
+
+    rows = eq.build_queries()["q03_bm25_implicit_and"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    eng = eq._LSM_ENGINES.get(SF_DIR)
+    assert isinstance(eng, DeltaSearchEngine)
+    assert _segment_ids(eng.index_dir) == [0]  # the minor-compacted tier
+    assert not eng.delta.isEmpty()  # live level-0 with the true versions
+    assert eng.seg_docs is not None
+    # precedence probe: "stalemarker" exists ONLY in superseded segment
+    # rows — any latest-wins leak would surface it as a hit
+    assert eng.search("stalemarker xyzzyterm", 10).count() == 0

@@ -194,6 +194,85 @@ def test_minor_compact_slim_index_phrase_via_segment_positions(
     assert [r["doc_id"] for r in hits] == [new_id]
 
 
+def test_lsm_random_lifecycle(spark, tmp_path, small_corpus):
+    """Property test over the tiered design: a seeded RANDOM interleaving
+    of {ingest micro-batch (new docs + re-crawls), minor_compact,
+    major compact_deltas} must keep the LSM read path rank-identical to
+    an in-memory engine over the latest-version corpus after EVERY step —
+    not just the fixed 3-segment scenario above. Catches precedence bugs
+    that only appear in orderings the scenario test never visits (e.g.
+    major compaction with a non-empty delta AND live segments, minor
+    compaction of a re-crawl that supersedes a doc already in a segment)."""
+    import random
+
+    from search_engine_core_spark.engine import SearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        compact_deltas,
+        minor_compact,
+    )
+
+    rng = random.Random(0x55)
+    queries = ["spark merge", "updatedphrase OR token", '"spark table"']
+    kw = dict(n_buckets=4, hot_df_threshold=100, n_shards=4)
+
+    base_rows = small_corpus.select(
+        "repo", "path", "commit", "lang", "content"
+    ).limit(60).collect()
+    # latest-version truth: natural key -> (lang, content)
+    current = {(r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+               for r in base_rows}
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, **kw).build(
+        spark.createDataFrame(base_rows, CS)
+    )
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    gen = 0
+
+    def ingest():
+        nonlocal gen
+        gen += 1
+        batch = []
+        for key in rng.sample(sorted(current), rng.randint(1, 3)):  # re-crawls
+            lang, old = current[key]
+            content = f"updatedphrase gen{gen} spark table merge " + old[:40]
+            current[key] = (lang, content)
+            batch.append((*key, lang, content))
+        for i in range(rng.randint(0, 2)):  # brand-new docs
+            key = ("org/new", f"src/g{gen}_{i}.py", "c0")
+            content = f"token zebra gen{gen} spark merge quantum"
+            current[key] = ("python", content)
+            batch.append((*key, "python", content))
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in batch], CS
+        ).write.parquet(f"{inbox}/b{gen}")
+        _stream(spark, inbox, idx, ckpt)
+
+    ops = {"ingest": ingest,
+           "minor": lambda: minor_compact(spark, idx, **kw),
+           "major": lambda: compact_deltas(spark, idx, **kw)}
+    # every op at least once, then a random tail — seeded, so the exact
+    # interleaving is reproducible
+    plan = ["ingest", "minor", "ingest", "major"] + [
+        rng.choice(["ingest", "ingest", "minor", "major"]) for _ in range(6)
+    ]
+    for step, op in enumerate(plan):
+        ops[op]()
+        ref = SearchEngine(spark.createDataFrame(
+            [(k[0], k[1], k[2], v[0], v[1]) for k, v in current.items()], CS
+        ))
+        want = {
+            qq: [(r["doc_id"], r["score"]) for r in ref.search(qq, 10).collect()]
+            for qq in queries
+        }
+        _check(DeltaSearchEngine(spark, idx, n_buckets=4), want,
+               f"step{step}:{op}")
+        ref.unpersist()
+    assert gen >= 5  # the draw actually exercised multiple generations
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 # --------------------- embedding-index lifecycle (r4 "What's missing" #2)
 SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
 
@@ -327,3 +406,23 @@ def test_embedding_upsert_delete_parity_vs_fresh(spark, tmp_path, emb5, nest_cel
     assert [(r["vec_id"], r["cos_sim"]) for r in iv_a] == [
         (r["vec_id"], r["cos_sim"]) for r in iv_c
     ]
+
+
+def test_embedding_upsert_rejects_duplicate_ids(spark, tmp_path, emb5):
+    """A batch with two rows for one vec_id has no defined winner (no
+    ordering column) — upsert must refuse rather than double-write and
+    corrupt the n_vecs accounting."""
+    from search_engine_core_spark.sources.embedding_index import EmbeddingIndexBuilder
+
+    d = str(tmp_path / "dup")
+    b = EmbeddingIndexBuilder(
+        spark, d, n_bits=4, n_centroids=4, partition_cells=False,
+        centroid_ids=[1, 2, 3, 4],
+    )
+    b.build(emb5.select("vec_id", "embedding"))
+    dup = emb5.filter(F.col("vec_id") == 5).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        b.upsert(dup.unionByName(dup))
+    import json
+
+    assert json.load(open(f"{d}/meta.json"))["n_vecs"] == 500  # untouched
