@@ -454,6 +454,43 @@ class DeltaSearchEngine(_PaginatedSearch):
             self.docs, trip, dfreq, self.stats, phrase_docs_fn=self._phrase_docs_fn()
         ).topk_ast(ast, k, algorithm)
 
+    def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
+        """LSM twin of the other engines' ``search_with_meta`` (P1/O6):
+        top-k joined to metadata + snippet from the merged latest-wins
+        docs view — a freshly streamed doc's snippet comes from its delta
+        content, a re-crawled doc's from its newest version."""
+        from search_engine_core_spark.engine import _meta_with_snippet
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import QueryParser
+
+        terms = scoring_terms(QueryParser().parse(query)) if highlight else []
+        return _meta_with_snippet(self.search(query, k), self.docs, terms, highlight)
+
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """S14 over the LSM view: prefix terms weighted by summed df
+        across [main dfreq ⊎ segment postings (term, df) — a metadata
+        scan, no blob decode ⊎ delta triples]. Weights are an UPPER
+        BOUND: a superseded doc's contribution to main/segment df is only
+        removed at major compaction — the same staleness contract as a
+        RediSearch suggest dictionary, which keeps entries until an
+        explicit FT.SUGDEL (``src/search_api.cpp`` suggest endpoints);
+        membership is exact for newly streamed terms (searchable terms
+        suggest immediately)."""
+        from search_engine_core_spark.operators.keywords import suggest
+
+        parts = [self.reader.dfreq.select("term", "df")]
+        if self.seg_ids:
+            root = f"{self.index_dir}/segments/postings"
+            segp = self.spark.read.option("basePath", root).parquet(root)
+            parts.append(segp.select("term", "df"))
+        parts.append(
+            self.delta.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return suggest(merged.groupBy("term").agg(F.sum("df").alias("df")), prefix, k)
+
     def _phrase_docs_fn(self):
         """Positional phrase candidates over [main positions ∖ superseded
         ⊎ segment positions (latest-wins) ⊎ delta positions] when the

@@ -194,6 +194,41 @@ def test_minor_compact_slim_index_phrase_via_segment_positions(
     assert [r["doc_id"] for r in hits] == [new_id]
 
 
+def test_delta_engine_suggest_and_meta(spark, tmp_path, small_corpus):
+    """S14 + P1/O6 on the LSM engine: a freshly streamed term suggests
+    immediately (from the delta tier), keeps suggesting after minor
+    compaction (from the segment postings' metadata columns), and
+    search_with_meta serves the new doc's snippet from its delta
+    content with highlighting."""
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        minor_compact,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4).build(base)
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("org/new", "src/s.py", "c1", "python", "zebraqq quantum spark flux")], CS
+    ).write.parquet(f"{inbox}/b1")
+    _stream(spark, inbox, idx, ckpt)
+
+    deng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    assert [r["term"] for r in deng.suggest("zebraq", 5).collect()] == ["zebraqq"]
+    m = deng.search_with_meta("zebraqq", 5, highlight=True).collect()
+    assert len(m) == 1 and "<b>zebraqq</b>" in m[0]["snippet"]
+    # a main-index term still suggests, df dominated by the main tier
+    assert deng.suggest("spark", 3).first()["term"] == "spark"
+
+    assert minor_compact(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4) == 0
+    deng2 = DeltaSearchEngine(spark, idx, n_buckets=4)
+    assert [r["term"] for r in deng2.suggest("zebraq", 5).collect()] == ["zebraqq"]
+    m2 = deng2.search_with_meta("zebraqq", 5, highlight=True).collect()
+    assert len(m2) == 1 and "<b>zebraqq</b>" in m2[0]["snippet"]
+
+
 def test_lsm_random_lifecycle(spark, tmp_path, small_corpus):
     """Property test over the tiered design: a seeded RANDOM interleaving
     of {ingest micro-batch (new docs + re-crawls), minor_compact,
