@@ -141,7 +141,21 @@ def main() -> None:
     dt = min(
         _timed(lambda: deng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
     )
+    # search() routes WAND-eligible shapes through block-max WAND over
+    # the LSM view (r5); the _planner line is the general decode-
+    # everything path the same query used before — the A/B is the
+    # fast-path win at this corpus size
     timings["lsm_query_delta"] = round(dt, 3)
+
+    def _planner_query(eng):
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import QueryParser
+
+        ast = QueryParser().parse("spark merge")
+        return eng._search_planner(ast, scoring_terms(ast), 10, "bm25").collect()
+
+    dt = min(_timed(lambda: _planner_query(deng)) for _ in range(N_RUNS))
+    timings["lsm_query_delta_planner"] = round(dt, 3)
     # minor compaction: fold level-0 into an immutable compressed segment —
     # cost scales with the DELTA (n_delta docs), never the main index
     # (r5; compare with lsm_compact, the full-rewrite major path below)
@@ -162,6 +176,8 @@ def main() -> None:
         _timed(lambda: seng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
     )
     timings["lsm_query_segment"] = round(dt, 3)
+    dt = min(_timed(lambda: _planner_query(seng)) for _ in range(N_RUNS))
+    timings["lsm_query_segment_planner"] = round(dt, 3)
     timings["lsm_compact"] = round(
         _timed(
             lambda: compact_deltas(

@@ -151,28 +151,84 @@ def decode_score_for_docs(
     return postings.mapInPandas(gen, "doc_id long, s double, nt long")
 
 
-class WandTopK:
-    """Block-max two-pass top-k over an IndexReader."""
+def score_triples_for_docs(
+    trip: DataFrame,
+    bc_pairs,
+    idf_map: dict[str, float],
+    avgdl: float,
+) -> DataFrame:
+    """Exact BM25 partials over PLAIN (doc_id, term, tf) triples for a
+    known doc set — the update-tier twin of :func:`decode_score_for_docs`
+    (which consumes compressed postings rows). It deliberately repeats
+    that function's numpy expression, operation order and driver-side
+    ``idf_map`` (np.log) so a tier doc and a main-live doc with identical
+    (tf, doclen, df) produce BIT-IDENTICAL scores: the final top-k
+    tie-breaks by doc_id only after scores compare equal, and a 1-ULP
+    drift between np.log and the JVM's log is enough to flip an exact
+    tie group's order vs the naive path (caught by the randomized LSM
+    lifecycle test)."""
 
-    def __init__(self, reader, stats: CorpusStats):
+    def gen(batches):
+        targets, dls = bc_pairs.value
+        if targets.size == 0:
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(targets, ids)
+            keep = (pos < targets.size) & (
+                targets[np.minimum(pos, targets.size - 1)] == ids
+            )
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            tf = pdf["tf"].to_numpy().astype(np.float64)[keep]
+            dl = dls[pos[keep]]
+            idf = pdf["term"].map(lambda t: idf_map.get(t, 0.0)).to_numpy(
+                dtype=np.float64
+            )[keep]
+            ts = (idf * (tf * (K1 + 1.0))) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            uids, inv = np.unique(ids, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": uids,
+                    "s": np.bincount(inv, weights=ts),
+                    "nt": np.bincount(inv).astype(np.int64),
+                }
+            )
+
+    return trip.mapInPandas(gen, "doc_id long, s double, nt long")
+
+
+class WandTopK:
+    """Block-max two-pass top-k over an IndexReader.
+
+    ``docs`` (optional) overrides the doclen source for exact scoring —
+    the LSM read path passes its merged latest-wins docs view so update-
+    tier docs (whose doclen differs from, or is absent in, the main
+    index) score against their CURRENT length; main-live docs' rows are
+    identical in both views, so the override is always safe."""
+
+    def __init__(self, reader, stats: CorpusStats, docs: DataFrame | None = None):
         self.reader = reader
         self.stats = stats
+        self.docs = docs if docs is not None else reader.docs
 
-    def _score_exact(
+    def _score_parts(
         self,
         trip: DataFrame,
         term_stats: dict[str, tuple[int, int]],
     ) -> DataFrame:
-        """(doc_id, term, tf) restricted to query terms -> (doc_id, score).
-
-        AND-candidate selection happens upstream (seed_agg folds the
-        term-count into the fused decode+score aggregation); this helper
-        only sums BM25 partials for an already-selected doc set."""
+        """(doc_id, term, tf) restricted to query terms -> per-(doc, term)
+        BM25 partials (doc_id, ts). Callers aggregate: ``_score_exact``
+        sums to (doc_id, score); the LSM tier scorer also counts distinct
+        matched terms for AND semantics."""
         n, avgdl = self.stats.n_docs, self.stats.avgdl
         df_map = F.create_map(
             *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
         )
-        doclen = self.reader.docs.select("doc_id", "doclen")
+        doclen = self.docs.select("doc_id", "doclen")
         # trip is bounded (seed_cap x query terms); broadcasting it turns
         # the doclen lookup into a map-side hash join against the big docs
         # table — no shuffle of either side, which at 100 TB is the
@@ -193,7 +249,23 @@ class WandTopK:
                 ),
             )
         )
-        return per.groupBy("doc_id").agg(F.sum("ts").alias("score"))
+        return per
+
+    def _score_exact(
+        self,
+        trip: DataFrame,
+        term_stats: dict[str, tuple[int, int]],
+    ) -> DataFrame:
+        """(doc_id, term, tf) restricted to query terms -> (doc_id, score).
+
+        AND-candidate selection happens upstream (seed_agg folds the
+        term-count into the fused decode+score aggregation); this helper
+        only sums BM25 partials for an already-selected doc set."""
+        return (
+            self._score_parts(trip, term_stats)
+            .groupBy("doc_id")
+            .agg(F.sum("ts").alias("score"))
+        )
 
     def topk(
         self,
@@ -202,8 +274,29 @@ class WandTopK:
         mode: str = "OR",
         seed_cap: int = 200_000,
         survivor_cap: int | None = None,
+        term_stats_override: dict[str, tuple[int, int]] | None = None,
+        exclude_ids=None,
+        extra_trip: DataFrame | None = None,
+        extra_pairs=None,
     ) -> DataFrame:
         """terms must be canonical tokens. Returns (doc_id, score) top-k.
+
+        The three trailing kwargs are the LSM composition hooks
+        (``DeltaSearchEngine._wand_topk``): ``term_stats_override`` is a
+        complete term -> (df, max_tf) map over the MERGED corpus (main ∖
+        superseded ⊎ update tiers) — df must be exact (it feeds idf),
+        max_tf may over-estimate (it only loosens upper bounds, which
+        stays sound); ``exclude_ids`` is a sorted int64 ndarray of main
+        docs superseded by an update tier — they are removed from the
+        seed set, the pass-2 survivor set and the full-decode fallback,
+        so a stale version can never score; ``extra_trip`` holds the
+        update tiers' (doc_id, term, tf) triples for the query terms
+        (latest-wins, disjoint from main-live docs by construction) —
+        those docs are scored exactly from their own triples and merged
+        into the seed top-k, so θ starts no lower than the tier's k-th
+        score; ``extra_pairs`` is the matching (sorted tier doc ids
+        int64, aligned latest-wins doclens float64) pair the tier scorer
+        needs (required with ``extra_trip``).
 
         Decode discipline (the whole point of WAND): the ONLY term ever
         fully decoded is the RAREST one. Every other term is touched two
@@ -245,13 +338,16 @@ class WandTopK:
         # union with meta rows) or overlapping the two actions in threads
         # was SLOWER still — the chained broadcast sub-queries serialize
         # inside one job and cost more than the round-trip they replace.
-        term_stats = self.reader.term_meta(terms)
-        if term_stats is None:
-            meta_rows = postings.select("term", "df", "max_tf").collect()
-            term_stats = {}
-            for r in meta_rows:
-                d0, m0 = term_stats.get(r["term"], (0, 0))
-                term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
+        if term_stats_override is not None:
+            term_stats = term_stats_override
+        else:
+            term_stats = self.reader.term_meta(terms)
+            if term_stats is None:
+                meta_rows = postings.select("term", "df", "max_tf").collect()
+                term_stats = {}
+                for r in meta_rows:
+                    d0, m0 = term_stats.get(r["term"], (0, 0))
+                    term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
         present = [t for t in terms if t in term_stats]
         if not present:
             return empty
@@ -260,6 +356,55 @@ class WandTopK:
         if mode == "AND" and len(present) < len(terms):
             return empty
 
+        if exclude_ids is not None:
+            exclude_ids = np.asarray(exclude_ids, dtype=np.int64)
+            if exclude_ids.size == 0:
+                exclude_ids = None
+        _key = lambda r: (-r["score"], r["doc_id"])
+
+        idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
+
+        # update-tier candidates ride the SEED JOB: their exact BM25
+        # partials (from their own triples, through the SAME numpy
+        # expression + np.log idf map as the seed path — see
+        # score_triples_for_docs; exact tie groups spanning tier and
+        # main-live docs must order identically to the naive path) are
+        # unioned with the seed partials BEFORE the top-k aggregation,
+        # so the tier costs a plan branch, not an extra driver job. Doc
+        # sets are disjoint (tier docs are excluded from main), so the
+        # shared groupBy/_nt/θ machinery is exact for both.
+        def _with_tier(contrib: DataFrame) -> DataFrame:
+            if extra_trip is None:
+                return contrib
+            bc_tier = spark.sparkContext.broadcast(
+                (
+                    np.asarray(extra_pairs[0], dtype=np.int64),
+                    np.asarray(extra_pairs[1], dtype=np.float64),
+                )
+            )
+            return contrib.unionByName(
+                score_triples_for_docs(
+                    extra_trip.filter(F.col("term").isin(present)),
+                    bc_tier,
+                    idfs,
+                    self.stats.avgdl,
+                )
+            )
+
+        def _fallback() -> DataFrame:
+            exclude_df = (
+                spark.createDataFrame(
+                    [(int(i),) for i in exclude_ids], "doc_id long"
+                )
+                if exclude_ids is not None
+                else None
+            )
+            rows = self._topk_full_decode(
+                postings, term_stats, present, k, mode,
+                exclude_df=exclude_df, extra_trip=extra_trip,
+            )
+            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+
         rarest = min(present, key=lambda t: term_stats[t][0])
         rare_post = postings.filter(F.col("term") == rarest)
         rest_post = postings.filter(F.col("term") != rarest)
@@ -267,8 +412,7 @@ class WandTopK:
         if term_stats[rarest][0] > seed_cap:
             # degenerate query: every term is hot — fall back to the
             # distributed full decode (no driver-side id set).
-            rows = self._topk_full_decode(postings, term_stats, present, k, mode)
-            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+            return _fallback()
 
         # pass 1: decode ONLY the rarest term, and collect ONLY its doc-id
         # array (bounded by seed_cap) in ONE job — the id set must reach
@@ -286,29 +430,35 @@ class WandTopK:
         if norms is not None:
             ids_tbl = decode_postings_df(rare_post).select("doc_id").toArrow()
             rare_ids = np.sort(ids_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-            if rare_ids.size == 0:
-                return empty
-            dls = norms[1][np.searchsorted(norms[0], rare_ids)]
+            if exclude_ids is not None:
+                rare_ids = rare_ids[np.isin(rare_ids, exclude_ids, invert=True)]
+            dls = norms[1][np.searchsorted(norms[0], rare_ids)] if rare_ids.size else np.empty(0)
         else:
             pairs = (
                 self.reader.docs.select("doc_id", "doclen")
                 .join(F.broadcast(decode_postings_df(rare_post).select("doc_id")), "doc_id")
                 .toArrow()
             )
-            if pairs.num_rows == 0:
-                return empty
             ids_np = pairs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             dls_np = pairs["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
             order = np.argsort(ids_np)
             rare_ids = ids_np[order]
             dls = dls_np[order]
+            if exclude_ids is not None:
+                keep = np.isin(rare_ids, exclude_ids, invert=True)
+                rare_ids, dls = rare_ids[keep], dls[keep]
+        if rare_ids.size == 0 and extra_trip is None:
+            return empty
+        # rare_ids may be empty with update tiers present (a term so far
+        # seen only in a tier): main seeding is a no-op, the tier branch
+        # of the seed job still produces candidates, and pass 2 still
+        # sweeps the other terms' main postings.
         bc_pairs = spark.sparkContext.broadcast((rare_ids, dls))
-        idfs = {t: _idf(d, n) for t, (d, _) in term_stats.items()}
         # all terms incl. the rarest: for the rarest the target set is its
         # own doc set, so block-targeting degrades to the full decode —
         # one operator, no union, and hot terms stay block-skipped.
         seed_agg = (
-            decode_score_for_docs(postings, bc_pairs, idfs, self.stats.avgdl)
+            _with_tier(decode_score_for_docs(postings, bc_pairs, idfs, self.stats.avgdl))
             .groupBy("doc_id")
             .agg(F.sum("s").alias("score"), F.sum("nt").alias("_nt"))
         )
@@ -316,7 +466,8 @@ class WandTopK:
         if mode == "AND":
             # AND needs no θ machinery: candidates = docs holding ALL
             # terms (term-count rides the same agg), already restricted
-            # to the rarest term's doc set. One distributed chain.
+            # to the rarest term's doc set (or, for tier docs, their own
+            # complete triples). One distributed chain.
             rows = (
                 seed_agg.filter(F.col("_nt") == len(present))
                 .select("doc_id", "score")
@@ -358,9 +509,12 @@ class WandTopK:
             pruned_trip.select("doc_id").distinct().limit(cap + 1).collect()
         )
         if len(surv_rows) > cap:
-            rows = self._topk_full_decode(postings, term_stats, present, k, mode)
-            return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+            return _fallback()
         pruned_ids = np.array([r["doc_id"] for r in surv_rows], dtype=np.int64)
+        if exclude_ids is not None:
+            # superseded docs can survive θ-pruning (their stale postings
+            # are still in main) — they must never be exact-scored
+            pruned_ids = np.setdiff1d(pruned_ids, exclude_ids)
         extra_ids = np.setdiff1d(pruned_ids, rare_ids)
         if extra_ids.size == 0:
             return (
@@ -377,20 +531,36 @@ class WandTopK:
             .limit(k)
             .collect()
         )
-        merged = sorted(
-            list(seed_top) + list(extra_top), key=lambda r: (-r["score"], r["doc_id"])
-        )[:k]
+        merged = sorted(list(seed_top) + list(extra_top), key=_key)[:k]
         return spark.createDataFrame(merged, "doc_id long, score double") if merged else empty
 
     def _topk_full_decode(
-        self, postings: DataFrame, term_stats, present: list[str], k: int, mode: str
+        self,
+        postings: DataFrame,
+        term_stats,
+        present: list[str],
+        k: int,
+        mode: str,
+        exclude_df: DataFrame | None = None,
+        extra_trip: DataFrame | None = None,
     ) -> list:
-        """Fallback when even the rarest term exceeds the seed cap: one
-        distributed decode + exact scoring (no pruning possible — every
-        candidate can reach θ when all terms are hot)."""
+        """Fallback when even the rarest term exceeds the seed cap (or the
+        survivor cap overflows): one distributed decode + exact scoring
+        (no pruning possible — every candidate can reach θ when all terms
+        are hot). ``exclude_df``/``extra_trip`` keep the LSM composition
+        exact on this path too: superseded main docs are anti-joined out
+        and the update tiers' triples are unioned in before scoring."""
         from search_engine_core_spark.operators.postings import decode_postings_df
 
         trip = decode_postings_df(postings)
+        if exclude_df is not None:
+            trip = trip.join(exclude_df, "doc_id", "left_anti")
+        if extra_trip is not None:
+            trip = trip.unionByName(
+                extra_trip.filter(F.col("term").isin(present)).select(
+                    "doc_id", "term", "tf"
+                )
+            )
         if mode == "AND":
             cand = (
                 trip.groupBy("doc_id")

@@ -324,7 +324,16 @@ class DeltaSearchEngine(_PaginatedSearch):
     (a query reads n_terms buckets per tier); the delta side is a plain
     columnar scan bounded by minor-compaction cadence (classic LSM
     level-0), and the number of segments is bounded by major-compaction
-    cadence. Nothing decodes outside the query's terms."""
+    cadence. Nothing decodes outside the query's terms. WAND-eligible
+    bm25 queries additionally take the block-max fast path (r5): main
+    postings are θ-pruned exactly as on the batch index, with merged
+    term stats, superseded docs excluded and tier docs exactly scored —
+    see :meth:`_wand_topk`."""
+
+    # guard for the driver-resident superseded-id set the WAND fast path
+    # needs; above it (level-0 badly overdue for compaction) queries stay
+    # on the general path
+    WAND_SUP_CAP = 200_000
 
     def __init__(self, spark: SparkSession, index_dir: str, n_buckets: int = 16):
         from search_engine_core_spark.functions.xxhash import term_bucket
@@ -368,6 +377,37 @@ class DeltaSearchEngine(_PaginatedSearch):
         if self.seg_docs is not None:
             sup = sup.unionByName(self.seg_docs.select("doc_id")).distinct()
         self._sup_main = sup.localCheckpoint(eager=True)
+        # driver-resident superseded-id set (+ the same docs'
+        # latest-wins doclens, which the WAND tier scorer needs): bounded
+        # by compaction cadence (level-0 + segments), so it normally fits
+        # easily; past the cap, queries keep the general
+        # decode-everything path (correct, slower) — same guard
+        # discipline as WAND's seed/survivor caps.
+        import numpy as np
+
+        pairs_df = self.delta_docs.select("doc_id", "doclen")
+        if self.seg_docs is not None:
+            pairs_df = pairs_df.unionByName(
+                self.seg_docs.select("doc_id", "doclen").join(
+                    self.delta_docs.select("doc_id"), "doc_id", "left_anti"
+                )
+            )
+        sup_tbl = pairs_df.limit(self.WAND_SUP_CAP + 1).toArrow()
+        if sup_tbl.num_rows > self.WAND_SUP_CAP:
+            self._sup_ids = self._sup_dls = None
+        else:
+            ids = sup_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = sup_tbl["doclen"].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(ids)
+            self._sup_ids, self._sup_dls = ids[order], dls[order]
+        self._has_tiers = bool(self.seg_ids) or not self.delta.isEmpty()
+        # per-term memo caches for the WAND fast path (coherent because
+        # the engine pins an immutable snapshot at open — same contract
+        # as IndexReader.term_meta): term -> checkpointed tier triples
+        # slice, term -> (tier df, tier max_tf), term -> superseded count
+        self._tier_cp: dict[str, DataFrame] = {}
+        self._tier_term_cache: dict[str, tuple[int, int]] = {}
+        self._sup_cnt_cache: dict[str, int] = {}
         # the (doc_id -> latest live segment) map is query-invariant:
         # materialize it once at engine open so each query applies
         # latest-wins precedence with ONE semi-join against a tiny
@@ -406,6 +446,11 @@ class DeltaSearchEngine(_PaginatedSearch):
         from search_engine_core_spark.operators.stats import CorpusStats
 
         self.stats = CorpusStats(n_docs=int(agg["n"]), avgdl=float(agg["avgdl"] or 1.0))
+        from search_engine_core_spark.operators.topk import WandTopK
+
+        # WAND over the LSM view: merged stats + merged docs (doclen for
+        # update-tier docs must come from their CURRENT version)
+        self.wand = WandTopK(self.reader, self.stats, docs=self.docs)
 
     def _seg_scan(self, artifact: str, terms: list[str]) -> DataFrame:
         """Bucket- and seg-pruned scan of ALL live segments' postings or
@@ -422,37 +467,188 @@ class DeltaSearchEngine(_PaginatedSearch):
         )
 
     def search(self, query: str, k: int = 10, algorithm: str = "bm25") -> DataFrame:
-        from search_engine_core_spark.operators.postings import decode_postings_df
-        from search_engine_core_spark.plans.planner import Planner, scoring_terms
+        from search_engine_core_spark.engine import IndexSearchEngine
+        from search_engine_core_spark.plans.planner import scoring_terms
         from search_engine_core_spark.plans.query_parser import QueryParser
 
         ast = QueryParser().parse(query)
         terms = scoring_terms(ast)
-        if terms:
-            trip = decode_postings_df(self.reader.postings_for_terms(terms)).join(
-                self._sup_main, "doc_id", "left_anti"
+        mode = IndexSearchEngine._wand_mode(ast)
+        if (
+            algorithm == "bm25"
+            and terms
+            and mode is not None
+            and k <= IndexSearchEngine.WAND_DRIVER_K_CAP
+            and self._sup_ids is not None
+        ):
+            # same routing contract as IndexSearchEngine.search: pure
+            # term-only AND/OR bm25 shapes take the block-max path
+            return self._wand_topk(terms, k, mode)
+        return self._search_planner(ast, terms, k, algorithm)
+
+    def _tier_triples(self, terms: list[str]) -> DataFrame:
+        """The update tiers' (doc_id, term, tf) for the query terms:
+        every segment's decoded postings restricted to docs whose LATEST
+        live segment it is (ONE scan+decode across all segments — the
+        ``seg`` column rides the decode and latest-wins is a single
+        (doc_id, seg) semi-join, so per-query cost does not grow with
+        segment count), unioned with the live delta's triples
+        (latest-batch-wins, replay-deduped)."""
+        from search_engine_core_spark.operators.postings import decode_postings_df
+
+        out = self.delta.filter(F.col("term").isin(terms))
+        if self.seg_docs is not None and self.seg_ids:
+            seg_trip = (
+                decode_postings_df(self._seg_scan("postings", terms), carry=("seg",))
+                .join(self._live_seg_map, ["doc_id", "seg"], "left_semi")
+                .drop("seg")
             )
-            if self.seg_docs is not None and self.seg_ids:
-                # ONE scan+decode across every segment; a triple survives
-                # iff its (doc, seg) is the doc's latest live segment —
-                # per-tier cost no longer grows with segment count
-                seg_trip = (
-                    decode_postings_df(
-                        self._seg_scan("postings", terms), carry=("seg",)
-                    )
-                    .join(self._live_seg_map, ["doc_id", "seg"], "left_semi")
-                    .drop("seg")
-                )
-                trip = trip.unionByName(seg_trip)
-            trip = trip.unionByName(
-                self.delta.filter(F.col("term").isin(terms))
-            ).localCheckpoint(eager=True)
+            out = seg_trip.unionByName(out)
+        return out
+
+    def _tier_slice(self, terms: list[str]) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+        """Per-term-memoized tier triples + (df, max_tf) for the query
+        terms: uncached terms are scanned/decoded ONCE (one eager
+        checkpoint + one stats collect), then every later query touching
+        them reuses the checkpointed slice with no Spark job — the tier
+        is an immutable snapshot at engine open, so the cache can never
+        go stale. Steady-state WAND queries therefore cost the same
+        driver jobs as batch WAND (+ the sup-count decode, also
+        memoized)."""
+        uniq = list(dict.fromkeys(terms))
+        missing = [t for t in uniq if t not in self._tier_cp]
+        if missing:
+            cp = self._tier_triples(missing).localCheckpoint(eager=True)
+            stats = {
+                r["term"]: (int(r["df"]), int(r["mx"]))
+                for r in cp.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"), F.max("tf").alias("mx"))
+                .collect()
+            }
+            for t in missing:
+                self._tier_cp[t] = cp.filter(F.col("term") == t)
+                self._tier_term_cache[t] = stats.get(t, (0, 0))
+        tier = self._tier_cp[uniq[0]]
+        for t in uniq[1:]:
+            tier = tier.unionByName(self._tier_cp[t])
+        return tier, {t: self._tier_term_cache[t] for t in uniq}
+
+    def _search_planner(self, ast, terms: list[str], k: int, algorithm: str) -> DataFrame:
+        """General path: decode-and-union the full merged triples view and
+        hand it to the Planner (phrases, filters, mixed precedence,
+        non-bm25 scorers, and the WAND fallbacks)."""
+        from search_engine_core_spark.operators.postings import decode_postings_df
+        from search_engine_core_spark.plans.planner import Planner
+
+        if terms:
+            trip = (
+                decode_postings_df(self.reader.postings_for_terms(terms))
+                .join(self._sup_main, "doc_id", "left_anti")
+                .unionByName(self._tier_triples(terms))
+                .localCheckpoint(eager=True)
+            )
         else:
             trip = self.spark.createDataFrame([], "doc_id long, term string, tf long")
         dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         return Planner(
             self.docs, trip, dfreq, self.stats, phrase_docs_fn=self._phrase_docs_fn()
         ).topk_ast(ast, k, algorithm)
+
+    def search_wand(self, query: str, k: int = 10, **wand_kwargs) -> DataFrame:
+        """LSM twin of :meth:`IndexSearchEngine.search_wand`: block-max
+        WAND over [main ∖ superseded ⊎ tiers] with the same mode rules
+        (explicit all-plain-term ANDs short-circuit, everything else OR)
+        and the same tunable driver-byte guards (``seed_cap``,
+        ``survivor_cap`` pass through to :meth:`WandTopK.topk`). Raises
+        when the superseded set exceeds WAND_SUP_CAP (compaction overdue
+        — the routed :meth:`search` degrades silently instead)."""
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import And, QueryParser, Term
+
+        if self._sup_ids is None:
+            raise ValueError(
+                f"superseded set exceeds WAND_SUP_CAP={self.WAND_SUP_CAP}: "
+                "run minor_compact/compact_deltas, or use search()"
+            )
+        ast = QueryParser().parse(query)
+        terms = scoring_terms(ast)
+        mode = (
+            "AND"
+            if isinstance(ast, And)
+            and all(isinstance(c, Term) and not c.exact for c in ast.children)
+            or (isinstance(ast, Term) and not ast.exact)
+            else "OR"
+        )
+        return self._wand_topk(terms, k, mode, **wand_kwargs)
+
+    def _wand_topk(self, terms: list[str], k: int, mode: str, **wand_kwargs) -> DataFrame:
+        """Block-max WAND over the LSM view — the flagship fast path
+        WITHOUT waiting for compaction, rank-identical to the general
+        path by construction (test-pinned):
+
+        * merged per-term stats: df = df_main − |superseded docs holding
+          the term in main| + df_tier (exact — feeds idf); max_tf =
+          max(main, tier) (upper bound — may retain a superseded doc's
+          tf, which only loosens block bounds, never unsounds them);
+        * main-tier WAND runs with those stats and the merged N/avgdl,
+          with superseded docs excluded from seed/survivors/fallback;
+        * tier docs score exactly from their own triples (their main
+          postings, if any, are superseded) and floor θ with their top-k.
+
+        Cost on top of batch WAND: first query per term pays one tier
+        scan+decode (segment buckets pruned, delta bounded by compaction
+        cadence) and one block-targeted decode of the superseded docs'
+        rows (df correction) — both per-term-memoized
+        (:meth:`_tier_slice`); the tier's exact scoring rides the seed
+        job as a plan branch (no extra driver job). Nothing touches
+        blocks outside the query's terms."""
+        from search_engine_core_spark.operators.postings import decode_postings_for_docs
+
+        if not self._has_tiers:
+            # no segments, empty delta (e.g. right after major
+            # compaction): plain batch WAND — merged view == main
+            return self.wand.topk(terms, k, mode=mode, **wand_kwargs)
+        tier, tier_stats = self._tier_slice(terms)
+        main_stats = self.reader.term_meta(terms)
+        if main_stats is None:  # vocabulary over the dictionary cap
+            main_stats = {}
+            for r in (
+                self.reader.postings_for_terms(terms)
+                .select("term", "df", "max_tf")
+                .collect()
+            ):
+                d0, m0 = main_stats.get(r["term"], (0, 0))
+                main_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
+        missing = [t for t in main_stats if t not in self._sup_cnt_cache]
+        if self._sup_ids.size and missing:
+            found = {
+                r["term"]: int(r["c"])
+                for r in decode_postings_for_docs(
+                    self.reader.postings_for_terms(missing), self._sup_ids
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            for t in missing:
+                self._sup_cnt_cache[t] = found.get(t, 0)
+        sup_cnt = {t: self._sup_cnt_cache.get(t, 0) for t in main_stats}
+        merged: dict[str, tuple[int, int]] = {}
+        for t in dict.fromkeys(terms):
+            dm, mm = main_stats.get(t, (0, 0))
+            dt, mt = tier_stats.get(t, (0, 0))
+            d = dm - sup_cnt.get(t, 0) + dt
+            if d > 0:  # d == 0: every main doc holding t was superseded
+                merged[t] = (d, max(mm, mt))
+        return self.wand.topk(
+            terms,
+            k,
+            mode=mode,
+            term_stats_override=merged,
+            exclude_ids=self._sup_ids,
+            extra_trip=tier,
+            extra_pairs=(self._sup_ids, self._sup_dls),
+        )
 
     def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
         """LSM twin of the other engines' ``search_with_meta`` (P1/O6):

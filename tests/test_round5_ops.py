@@ -30,12 +30,49 @@ def _stream(spark, inbox, idx, ckpt):
     q.awaitTermination(120)
 
 
-def _check(eng, want, label):
-    for qq, exp in want.items():
-        got = [(r["doc_id"], r["score"]) for r in eng.search(qq, 10).collect()]
+def _check(eng, want, label, planner_too=False):
+    """Rank+score identity of eng.search (which routes WAND-eligible
+    shapes through the LSM block-max path) vs the expected list;
+    ``planner_too`` additionally pins the general decode-everything path
+    (``_search_planner``), which eligible queries no longer exercise."""
+    from search_engine_core_spark.plans.planner import scoring_terms
+    from search_engine_core_spark.plans.query_parser import QueryParser
+
+    def rows_match(got, exp, qq):
         assert [d for d, _ in got] == [d for d, _ in exp], (label, qq, got, exp)
         for (_, gs), (_, ws) in zip(got, exp):
             assert math.isclose(gs, ws, rel_tol=1e-9), (label, qq, gs, ws)
+
+    for qq, exp in want.items():
+        got = [(r["doc_id"], r["score"]) for r in eng.search(qq, 10).collect()]
+        rows_match(got, exp, qq)
+        if planner_too:
+            ast = QueryParser().parse(qq)
+            via_planner = [
+                (r["doc_id"], r["score"])
+                for r in eng._search_planner(ast, scoring_terms(ast), 10, "bm25").collect()
+            ]
+            rows_match(via_planner, exp, qq + " [planner]")
+
+
+def _pin_wand_routing(eng, queries, expected_routed):
+    """Assert exactly ``expected_routed`` of ``queries`` take the LSM
+    WAND fast path — rank identity must not be passing via a silent
+    fallback to the general path."""
+    from search_engine_core_spark.streaming.incremental import DeltaSearchEngine
+
+    calls = []
+    orig = DeltaSearchEngine._wand_topk
+    try:
+        DeltaSearchEngine._wand_topk = lambda self, t, k, m: (
+            calls.append(tuple(t)),
+            orig(self, t, k, m),
+        )[1]
+        for qq in queries:
+            eng.search(qq, 10).collect()
+    finally:
+        DeltaSearchEngine._wand_topk = orig
+    assert len(calls) == expected_routed, (calls, queries)
 
 
 def test_segment_tiered_lsm_rank_identity(spark, tmp_path, small_corpus):
@@ -106,25 +143,40 @@ def test_segment_tiered_lsm_rank_identity(spark, tmp_path, small_corpus):
         for qq in QUERIES
     }
 
-    _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "2seg+delta")
+    # stage 1 also pins the general path (WAND-eligible queries route
+    # away from it) and that the 4 eligible shapes actually take the
+    # WAND-over-LSM path: "spark merge"/"return"/"updatedphrase" (AND,
+    # updatedphrase existing ONLY in update tiers) + the token-OR
+    eng1 = DeltaSearchEngine(spark, idx, n_buckets=4)
+    _check(eng1, want, "2seg+delta", planner_too=True)
+    _pin_wand_routing(eng1, QUERIES, expected_routed=4)
 
     assert minor_compact(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4) == 2
     assert _segment_ids(idx) == [0, 1, 2]
     _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "3seg+empty-delta")
 
     # structural pin: however many segments exist, a query runs exactly
-    # TWO postings decodes — main + ONE all-segments scan (seg carried,
-    # latest-wins via a single (doc_id, seg) semi-join), never a
-    # per-segment decode ladder
+    # TWO postings decodes on EITHER path — ONE all-segments scan (seg
+    # carried, latest-wins via a single (doc_id, seg) semi-join, never a
+    # per-segment decode ladder) plus, on the WAND route, the rarest
+    # term's seed decode, or on the planner route, the main decode
     import search_engine_core_spark.operators.postings as _P
+    from search_engine_core_spark.plans.planner import scoring_terms
+    from search_engine_core_spark.plans.query_parser import QueryParser
 
-    calls, orig = [], _P.decode_postings_df
-    try:
-        _P.decode_postings_df = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
-        DeltaSearchEngine(spark, idx, n_buckets=4).search("spark merge", 10).collect()
-    finally:
-        _P.decode_postings_df = orig
-    assert len(calls) == 2, calls
+    eng3 = DeltaSearchEngine(spark, idx, n_buckets=4)
+    for run in ("wand", "planner"):
+        calls, orig = [], _P.decode_postings_df
+        try:
+            _P.decode_postings_df = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+            if run == "wand":
+                eng3.search("spark merge", 10).collect()
+            else:
+                ast3 = QueryParser().parse("spark merge")
+                eng3._search_planner(ast3, scoring_terms(ast3), 10, "bm25").collect()
+        finally:
+            _P.decode_postings_df = orig
+        assert len(calls) == 2, (run, calls)
 
     compact_deltas(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4)
     assert _segment_ids(idx) == []
@@ -227,6 +279,21 @@ def test_delta_engine_suggest_and_meta(spark, tmp_path, small_corpus):
     assert [r["term"] for r in deng2.suggest("zebraq", 5).collect()] == ["zebraqq"]
     m2 = deng2.search_with_meta("zebraqq", 5, highlight=True).collect()
     assert len(m2) == 1 and "<b>zebraqq</b>" in m2[0]["snippet"]
+
+    # search_wand API parity (r5): explicit WAND entry with tunable caps
+    # matches search() ranks on the LSM view, including OR mode and a
+    # survivor-cap squeeze that forces the guarded full-decode fallback
+    for qq in ("zebraqq", "spark OR flux"):
+        want_ids = [r["doc_id"] for r in deng2.search(qq, 5).collect()]
+        got = [r["doc_id"] for r in deng2.search_wand(qq, 5).collect()]
+        assert got == want_ids, (qq, got, want_ids)
+        # seed_cap=0 deterministically forces the guarded full-decode
+        # fallback — the one path where exclude_df + extra_trip compose
+        # inside _topk_full_decode
+        squeezed = [
+            r["doc_id"] for r in deng2.search_wand(qq, 5, seed_cap=0).collect()
+        ]
+        assert squeezed == want_ids, (qq, squeezed, want_ids)
 
 
 def test_lsm_random_lifecycle(spark, tmp_path, small_corpus):
