@@ -377,8 +377,9 @@ class EmbeddingIndexBuilder:
             )
             shutil.rmtree(path, ignore_errors=True)
 
-    def _swap_in(self, tmp: str, part_cols: list[str]) -> set[tuple]:
-        """Move every partition dir written under ``tmp`` into vectors/,
+    def _swap_in(self, tmp: str, part_cols: list[str],
+                 subdir: str = "vectors") -> set[tuple]:
+        """Move every partition dir written under ``tmp`` into ``subdir``/,
         replacing the old dir whole (write-aside then swap — Spark cannot
         overwrite the path it reads from; at scale this is an atomic
         Iceberg REPLACE-partition commit). Returns the moved partition
@@ -390,13 +391,97 @@ class EmbeddingIndexBuilder:
         for d in root.glob("/".join(f"{c}=*" for c in part_cols)):
             rel = d.relative_to(root)
             vals = tuple(int(p.split("=", 1)[1]) for p in rel.parts)
-            dest = Path(self.index_dir) / "vectors" / rel
+            dest = Path(self.index_dir) / subdir / rel
             shutil.rmtree(dest, ignore_errors=True)
             os.makedirs(dest.parent, exist_ok=True)
             shutil.move(str(d), str(dest))
             moved.add(vals)
         shutil.rmtree(tmp, ignore_errors=True)
         return moved
+
+    # -- PQ sidecar ------------------------------------------------------
+    def _pq_meta_path(self) -> str:
+        return f"{self.index_dir}/pq_meta.json"
+
+    def _pq_books(self) -> "np.ndarray | None":
+        if not os.path.exists(self._pq_meta_path()):
+            return None
+        with open(self._pq_meta_path()) as f:
+            return np.asarray(json.load(f)["codebooks"], dtype=np.float64)
+
+    def add_pq(self, m: int = 8, n_bits: int = 8, seed: int = 0,
+               sample_n: int = 4096, iters: int = 20) -> None:
+        """Attach a product-quantization codes sidecar (``operators/pq.py``)
+        mirroring the vectors' partition layout, so every probe can read
+        m bytes/vec instead of 4*dim and re-rank only a shortlist.
+
+        Training sample: the ``sample_n`` rows with the smallest
+        (xxhash64(vec_id), vec_id) — order-free, deterministic for a given
+        index content, computed as a distributed TakeOrdered (never a full
+        collect). Codebooks live in pq_meta.json; upsert/delete refresh
+        the affected code partitions with the STORED codebooks, so codes
+        stay consistent without retraining (retrain = call add_pq again).
+        """
+        from search_engine_core_spark.operators.pq import encode_pq, train_pq
+
+        meta = self._require_meta()
+        part_cols = meta["partitioned_by"]
+        t0 = time.monotonic()
+        sample_rows = (
+            self._vectors()
+            .select("vec_id", "embedding")
+            .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(sample_n)
+            .collect()
+        )
+        books = train_pq(
+            np.asarray([r["embedding"] for r in sample_rows]),
+            m=m, n_bits=n_bits, seed=seed, iters=iters,
+        )
+        keep = [c for c in ("bucket", "cell") if c in self._vectors().columns]
+        codes = encode_pq(self._vectors(), books, keep_cols=tuple(keep))
+        obs = self._write_codes(codes, part_cols, f"{self.index_dir}/pq")
+        with open(self._pq_meta_path(), "w") as f:
+            json.dump({"m": m, "n_bits": n_bits, "seed": seed, "iters": iters,
+                       "sample_n": sample_n, "dim": meta["dim"],
+                       "codebooks": books.tolist()}, f)
+        self._log("pq", -1, int(obs.get["n"]), t0)
+
+    def _write_codes(self, codes: DataFrame, part_cols: list[str], dest: str,
+                     mode: str = "overwrite"):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        sort_cols = part_cols + [c for c in ("cell", "vec_id")
+                                 if c in codes.columns and c not in part_cols]
+        (codes.observe(obs, F.count(F.lit(1)).alias("n"))
+              .repartition(*part_cols)
+              .sortWithinPartitions(*sort_cols)
+              .write.mode(mode).partitionBy(*part_cols).parquet(dest))
+        return obs
+
+    def _refresh_pq(self, rows: DataFrame, before: set[tuple],
+                    part_cols: list[str]) -> None:
+        """Partition-local PQ refresh for upsert/delete: re-encode ONLY
+        the rewritten partitions' rows (``rows`` is the same merged/kept
+        plan the vectors write used, evaluated BEFORE the vectors swap so
+        it still reads the old files) with the stored codebooks."""
+        books = self._pq_books()
+        if books is None:
+            return
+        from search_engine_core_spark.operators.pq import encode_pq
+
+        keep = [c for c in ("bucket", "cell") if c in rows.columns]
+        tmp = f"{self.index_dir}/pq_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_codes(encode_pq(rows, books, keep_cols=tuple(keep)),
+                          part_cols, tmp)
+        moved = self._swap_in(tmp, part_cols, subdir="pq")
+        for vals in before - moved:
+            path = f"{self.index_dir}/pq/" + "/".join(
+                f"{c}={v}" for c, v in zip(part_cols, vals)
+            )
+            shutil.rmtree(path, ignore_errors=True)
 
     def upsert(self, new_embeddings: DataFrame) -> int:
         """Re-embed/upsert (J3 merge semantics): rows with an existing
@@ -456,6 +541,9 @@ class EmbeddingIndexBuilder:
         tmp = f"{self.index_dir}/vectors_upsert_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_vectors(merged, part_cols, tmp)
+        # PQ sidecar refresh must run while the OLD vector files are still
+        # in place (the merged plan reads them on re-evaluation)
+        self._refresh_pq(merged, before, part_cols)
         moved = self._swap_in(tmp, part_cols)
         self._rm_stale_partitions(before, moved, part_cols)
         meta["n_vecs"] = int(meta["n_vecs"]) + n_new - n_replaced
@@ -496,6 +584,7 @@ class EmbeddingIndexBuilder:
         tmp = f"{self.index_dir}/vectors_delete_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_vectors(kept, part_cols, tmp)
+        self._refresh_pq(kept, before, part_cols)
         moved = self._swap_in(tmp, part_cols)
         self._rm_stale_partitions(before, moved, part_cols)
         meta["n_vecs"] = int(meta["n_vecs"]) - n
@@ -577,3 +666,43 @@ class EmbeddingIndex:
             )
             .filter(F.col("cos_sim") >= threshold)
         )
+
+    # -- PQ paths --------------------------------------------------------
+    def _pq(self) -> tuple[np.ndarray, dict]:
+        path = f"{self.index_dir}/pq_meta.json"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no PQ sidecar at {self.index_dir} — run "
+                "EmbeddingIndexBuilder.add_pq() first"
+            )
+        with open(path) as f:
+            pm = json.load(f)
+        return np.asarray(pm["codebooks"], dtype=np.float64), pm
+
+    def pq_codes(self) -> DataFrame:
+        """The codes sidecar: same directory layout as vectors/, so the
+        same partition filters prune it — but each row is m bytes."""
+        return self.spark.read.option(
+            "basePath", f"{self.index_dir}/pq"
+        ).parquet(f"{self.index_dir}/pq")
+
+    def pq_topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4,
+                refine: int | None = 4) -> DataFrame:
+        """Multi-probe ANN where the probed partitions are scanned as PQ
+        CODES (m bytes/vec) and ranked by ADC; ``refine`` > 0 re-ranks the
+        k*refine shortlist with exact cosine read via a broadcast semi-join
+        (full-precision IO ~ shortlist, not probe). ``refine=None`` returns
+        the pure-ADC ranking (column ``adc_sim``) — zero full-precision IO.
+        """
+        from search_engine_core_spark.operators.pq import (
+            pq_adc_topk,
+            pq_refined_topk,
+        )
+
+        books, _ = self._pq()
+        probes = multiprobe_buckets(query_vec, self.planes, n_probe)
+        codes = self.pq_codes().filter(F.col("bucket").isin(probes))
+        if not refine:
+            return pq_adc_topk(codes, query_vec, books, k=k)
+        vecs = self.vectors().filter(F.col("bucket").isin(probes))
+        return pq_refined_topk(codes, vecs, query_vec, books, k=k, refine=refine)
