@@ -1,0 +1,156 @@
+"""Index integrity validator (sources/validate.py): clean index reports
+all-zero; each injected corruption trips exactly the check built for it."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.sources.validate import is_clean, validate_index
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, small_corpus, tmp_path_factory):
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+
+    d = str(tmp_path_factory.mktemp("validate") / "idx")
+    IndexBuilder(spark, d, n_buckets=N_BUCKETS).build(small_corpus)
+    return d
+
+
+def _copy(src: str, tmp_path) -> str:
+    dst = str(tmp_path / "idx_corrupt")
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _rewrite(spark, table_dir: str, transform, partition_by: str | None = None,
+             base_path: bool = False):
+    """Read a table dir, apply ``transform``, replace the dir (write-aside
+    then swap, since Spark can't overwrite its own input)."""
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", table_dir)
+    df = transform(reader.parquet(table_dir))
+    tmp = table_dir + "_tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(table_dir)
+    shutil.move(tmp, table_dir)
+
+
+def test_clean_index_validates(spark, built_index):
+    report = validate_index(spark, built_index, N_BUCKETS, deep=True)
+    assert is_clean(report), report
+    # every advertised check actually ran
+    assert set(report) == {
+        "df_vs_blocks", "block_align", "block_order", "max_tf_vs_blocks",
+        "bucket_key", "dfreq_vs_postings", "stats_vs_docs", "docs_unique",
+        "decode_error", "decode_count", "decode_tf", "orphan_postings",
+    }
+
+
+def test_dfreq_drift_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    _rewrite(
+        spark, f"{d}/dfreq",
+        lambda df: df.withColumn(
+            "df",
+            F.when(F.col("term") == df.select("term").first()["term"],
+                   F.col("df") + 1).otherwise(F.col("df")),
+        ),
+    )
+    report = validate_index(spark, d, N_BUCKETS)
+    assert report["dfreq_vs_postings"] >= 1
+    assert report["df_vs_blocks"] == 0  # postings themselves untouched
+
+
+def test_max_tf_corruption_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    _rewrite(
+        spark, f"{d}/postings",
+        lambda p: p.withColumn(
+            "max_tf",
+            F.when(F.col("term") == p.select("term").first()["term"],
+                   F.col("max_tf") + 7).otherwise(F.col("max_tf")),
+        ),
+        partition_by="bucket", base_path=True,
+    )
+    report = validate_index(spark, d, N_BUCKETS, deep=True)
+    assert report["max_tf_vs_blocks"] >= 1
+    # the decoded tfs now sit below the inflated cap, so decode_tf stays
+    # quiet — max_tf_vs_blocks is the check that owns this corruption
+    assert report["decode_tf"] == 0
+
+
+def test_df_vs_blocks_and_decode_count_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    _rewrite(
+        spark, f"{d}/postings",
+        lambda p: p.withColumn("df", F.col("df") + 1),
+        partition_by="bucket", base_path=True,
+    )
+    report = validate_index(spark, d, N_BUCKETS, deep=True)
+    assert report["df_vs_blocks"] >= 1
+    # the per-list decoder sizes from block_n (untouched), so the lists
+    # still decode — the COUNT check is what owns a df lie
+    assert report["decode_error"] == 0
+    assert report["decode_count"] >= 1
+    assert report["dfreq_vs_postings"] >= 1  # dfreq still has the old sums
+
+
+def test_truncated_bytes_flagged_not_fatal(spark, built_index, tmp_path):
+    """Chop bytes off one term's tf stream: the deep tier must REPORT the
+    corruption (decode_error + count shortfall), never kill the job."""
+    d = _copy(built_index, tmp_path)
+    _rewrite(
+        spark, f"{d}/postings",
+        lambda p: p.withColumn(
+            "tfs",
+            F.when(
+                F.col("term") == p.select("term").first()["term"],
+                F.expr("substring(tfs, 1, greatest(length(tfs) - 2, 0))"),
+            ).otherwise(F.col("tfs")),
+        ),
+        partition_by="bucket", base_path=True,
+    )
+    report = validate_index(spark, d, N_BUCKETS, deep=True)
+    assert report["decode_error"] >= 1
+    assert report["decode_count"] >= 1
+    assert report["df_vs_blocks"] == 0  # metadata arrays untouched
+
+
+def test_dropped_doc_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    victim = spark.read.parquet(f"{d}/docs").select("doc_id").first()["doc_id"]
+    _rewrite(spark, f"{d}/docs", lambda docs: docs.filter(F.col("doc_id") != victim))
+    report = validate_index(spark, d, N_BUCKETS, deep=True)
+    assert report["stats_vs_docs"] == 1
+    assert report["orphan_postings"] >= 1
+
+
+def test_duplicate_doc_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    _rewrite(spark, f"{d}/docs", lambda docs: docs.unionByName(docs.limit(1)))
+    report = validate_index(spark, d, N_BUCKETS)
+    assert report["docs_unique"] == 1
+    assert report["stats_vs_docs"] == 1
+
+
+def test_bucket_key_mismatch_flagged(spark, built_index, tmp_path):
+    d = _copy(built_index, tmp_path)
+    _rewrite(
+        spark, f"{d}/postings",
+        lambda p: p.withColumn(
+            "bucket", F.pmod(F.col("bucket") + 1, F.lit(N_BUCKETS)).cast("int")
+        ),
+        partition_by="bucket", base_path=True,
+    )
+    report = validate_index(spark, d, N_BUCKETS)
+    assert report["bucket_key"] >= 1
