@@ -54,11 +54,19 @@ n_docs = {n_docs}
 # JVM<->Python Arrow IPC (worker blocked in write(), JVM reader in select(),
 # zero CPU for 25+ min). On a real cluster the same defense applies:
 # re-launch stragglers; parquet's commit protocol keeps retries idempotent.
+import os
+# SCALE_CODEC: override shuffle/spill IO codec (e.g. zstd). On a
+# memory-bandwidth-contended host, smaller shuffle bytes can buy back
+# multi-executor efficiency at the cost of per-core CPU — measured, not
+# assumed; applied identically to BOTH cluster sizes.
+_extra = {{"spark.speculation": "true",
+          "spark.speculation.multiplier": "4",
+          "spark.speculation.quantile": "0.9"}}
+if os.environ.get("SCALE_CODEC"):
+    _extra["spark.io.compression.codec"] = os.environ["SCALE_CODEC"]
 spark = get_spark("scaling", cores=cores, shuffle_partitions={shuffle_parts},
                   master=f"local-cluster[{{n_exec}},{cpe},12288]",
-                  extra_conf={{"spark.speculation": "true",
-                               "spark.speculation.multiplier": "4",
-                               "spark.speculation.quantile": "0.9"}})
+                  extra_conf=_extra)
 idx = tempfile.mkdtemp(prefix="scale_idx_", dir="/dev/shm")
 # corpus pre-materialized ONCE by the parent — identical input files for
 # both cluster sizes; generation is harness work, never timed
