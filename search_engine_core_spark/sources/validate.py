@@ -52,11 +52,25 @@ def validate_index(
     index_dir: str,
     n_buckets: int = 16,
     deep: bool = False,
+    include_segments: bool = True,
 ) -> dict[str, int]:
     """Run all integrity checks; see module docstring. ``deep=True`` adds
     the decode-path checks (costs one full postings decode — still
     distributed, but proportional to index size; the structural tier is
-    metadata-arrays only and prunes to row-group stats where possible)."""
+    metadata-arrays only and prunes to row-group stats where possible).
+
+    ``include_segments``: on a tiered LSM index
+    (``streaming/incremental.py``), the structural + deep checks also
+    cover every immutable segment's postings in the SAME scan (the
+    segment layout nests bucket under seg, so one basePath read carries
+    both), the orphan check resolves decoded doc_ids against main ∪
+    segment docs (a re-crawled doc may live only in a newer tier), and
+    ``segment_docs_unique`` asserts per-segment doc_id uniqueness
+    (cross-segment repeats are LEGAL — that's latest-wins). The dfreq
+    and stats cross-checks stay main-only by design: tier-union term
+    stats are a query-time upper-bound contract, not a stored table."""
+    import os
+
     post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
         f"{index_dir}/postings"
     )
@@ -65,6 +79,24 @@ def validate_index(
     stats = spark.read.parquet(f"{index_dir}/stats")
 
     out: dict[str, int] = {}
+
+    main_post = post  # dfreq cross-check is main-only (see docstring)
+    seg_root = f"{index_dir}/segments/postings"
+    docs_universe = docs.select("doc_id")
+    if include_segments and os.path.isdir(seg_root):
+        seg_post = spark.read.option("basePath", seg_root).parquet(seg_root)
+        post = post.unionByName(seg_post.drop("seg"))
+        seg_docs_root = f"{index_dir}/segments/docs"
+        if os.path.isdir(seg_docs_root):
+            seg_docs = spark.read.option("basePath", seg_docs_root).parquet(
+                seg_docs_root
+            )
+            docs_universe = docs_universe.unionByName(
+                seg_docs.select("doc_id")
+            ).distinct()
+            out["segment_docs_unique"] = _count(
+                seg_docs.groupBy("seg", "doc_id").count().filter(F.col("count") > 1)
+            )
 
     # -- structural ------------------------------------------------------
     out["df_vs_blocks"] = _count(
@@ -113,7 +145,7 @@ def validate_index(
     )
 
     # -- cross-table -----------------------------------------------------
-    agg = post.groupBy("term").agg(F.sum("df").alias("post_df"))
+    agg = main_post.groupBy("term").agg(F.sum("df").alias("post_df"))
     out["dfreq_vs_postings"] = _count(
         agg.join(dfreq.select("term", "df"), "term", "full_outer").filter(
             F.col("post_df").isNull()
@@ -157,8 +189,106 @@ def validate_index(
         out["orphan_postings"] = _count(
             ok.select("doc_id")
             .distinct()
-            .join(docs.select("doc_id"), "doc_id", "left_anti")
+            .join(docs_universe, "doc_id", "left_anti")
         )
+
+    return out
+
+
+def validate_embedding_index(
+    spark: SparkSession, index_dir: str, deep: bool = False
+) -> dict[str, int]:
+    """Integrity checks for the materialized embedding index
+    (``sources/embedding_index.py``) and its optional PQ codes sidecar.
+
+    shallow:
+      * ``meta_n_vecs``   — meta.json count == count(vectors)
+      * ``vec_id_unique`` — no duplicate vectors (an upsert bug's symptom)
+      * ``pq_alignment``  — codes ids == vector ids (full outer), and
+                            every code is exactly m bytes
+    deep (recomputes assignments / encodings with the STORED sidecars):
+      * ``assignment_key`` — stored (bucket, cell) == re-assignment under
+                             the stored hyperplanes/centroids (a probe
+                             that prunes on a stale key silently loses
+                             recall; this is the check that catches it)
+      * ``pq_codes``       — stored codes byte-equal a re-encode under
+                             the stored codebooks
+    """
+    import json as _json
+    import os
+
+    from search_engine_core_spark.sources.embedding_index import (
+        _ASSIGNED_SCHEMA,
+        _assign_arrow,
+    )
+
+    with open(f"{index_dir}/meta.json") as f:
+        meta = _json.load(f)
+    vecs = spark.read.option("basePath", f"{index_dir}/vectors").parquet(
+        f"{index_dir}/vectors"
+    )
+    out: dict[str, int] = {}
+    n = vecs.count()
+    out["meta_n_vecs"] = int(int(meta["n_vecs"]) != n)
+    out["vec_id_unique"] = _count(
+        vecs.groupBy("vec_id").count().filter(F.col("count") > 1)
+    )
+
+    pq_meta_path = f"{index_dir}/pq_meta.json"
+    has_pq = os.path.exists(pq_meta_path)
+    if has_pq:
+        with open(pq_meta_path) as f:
+            pm = _json.load(f)
+        codes = spark.read.option("basePath", f"{index_dir}/pq").parquet(
+            f"{index_dir}/pq"
+        )
+        out["pq_alignment"] = _count(
+            vecs.select("vec_id")
+            .join(
+                codes.select("vec_id", F.length("code").alias("code_len")),
+                "vec_id",
+                "full_outer",
+            )
+            .filter(
+                F.col("code_len").isNull() | (F.col("code_len") != int(pm["m"]))
+            )
+        )
+
+    if deep:
+        stored = vecs.select(
+            "vec_id", "embedding",
+            F.col("bucket").alias("stored_bucket"),
+            F.col("cell").alias("stored_cell"),
+        )
+        reassigned = stored.mapInPandas(
+            _assign_arrow(meta["hyperplanes"], meta["centroids"], "embedding"),
+            "vec_id long, embedding array<float>, stored_bucket int, "
+            "stored_cell int, bucket int, cell int",
+        )
+        out["assignment_key"] = _count(
+            reassigned.filter(
+                (F.col("bucket") != F.col("stored_bucket"))
+                | (F.col("cell") != F.col("stored_cell"))
+            )
+        )
+        if has_pq:
+            import numpy as np
+
+            from search_engine_core_spark.operators.pq import encode_pq
+
+            books = np.asarray(pm["codebooks"], dtype=np.float64)
+            fresh = encode_pq(vecs, books).select(
+                "vec_id", F.col("code").alias("fresh_code")
+            )
+            out["pq_codes"] = _count(
+                codes.select("vec_id", "code")
+                .join(fresh, "vec_id", "full_outer")
+                .filter(
+                    F.col("code").isNull()
+                    | F.col("fresh_code").isNull()
+                    | (F.col("code") != F.col("fresh_code"))
+                )
+            )
 
     return out
 
@@ -221,9 +351,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index_dir")
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--deep", action="store_true")
+    p.add_argument("--embedding", action="store_true",
+                   help="validate an embedding index instead of a text index")
     args = p.parse_args(argv)
     spark = get_spark("validate_index")
-    report = validate_index(spark, args.index_dir, args.n_buckets, deep=args.deep)
+    if args.embedding:
+        report = validate_embedding_index(spark, args.index_dir, deep=args.deep)
+    else:
+        report = validate_index(spark, args.index_dir, args.n_buckets, deep=args.deep)
     print(json.dumps({"index_dir": args.index_dir, "clean": is_clean(report),
                       "violations": report}))
     return 0 if is_clean(report) else 1
