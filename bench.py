@@ -178,6 +178,42 @@ def main() -> None:
     timings["lsm_query_segment"] = round(dt, 3)
     dt = min(_timed(lambda: _planner_query(seng)) for _ in range(N_RUNS))
     timings["lsm_query_segment_planner"] = round(dt, 3)
+    # second delta generation -> segment 1 (untimed producer + fold),
+    # then the size-tiered middle layer folds [0, 1] into one segment:
+    # cost ~ the two deltas' size, never the main index (compare
+    # lsm_compact below, the full-rewrite major path)
+    from search_engine_core_spark.streaming.incremental import merge_segments
+
+    inbox2 = f"{work}/inbox2"
+    synthesize_corpus(spark, n_docs=n_delta, tokens_per_doc=200).write.mode(
+        "overwrite"
+    ).parquet(inbox2)
+    q2 = start_incremental_index(
+        spark, inbox2, index_dir, f"{work}/ckpt2", trigger_available_now=True
+    )
+    q2.awaitTermination()
+    minor_compact(
+        spark, index_dir, n_buckets=8,
+        hot_df_threshold=max(1000, n_docs // 10), n_shards=cores,
+    )
+    timings["lsm_merge_segments"] = round(
+        _timed(
+            lambda: merge_segments(
+                spark,
+                index_dir,
+                [0, 1],
+                n_buckets=8,
+                hot_df_threshold=max(1000, n_docs // 10),
+                n_shards=cores,
+            )
+        ),
+        3,
+    )
+    meng = DeltaSearchEngine(spark, index_dir, n_buckets=8)
+    dt = min(
+        _timed(lambda: meng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
+    )
+    timings["lsm_query_merged"] = round(dt, 3)
     timings["lsm_compact"] = round(
         _timed(
             lambda: compact_deltas(

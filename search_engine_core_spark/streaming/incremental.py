@@ -276,6 +276,256 @@ def minor_compact(
     return new_seg
 
 
+def segment_bytes(index_dir: str) -> dict[int, int]:
+    """On-disk bytes of each immutable segment's postings tree, in id
+    order — the size-tiered policy's input (docs/positions sidecars track
+    postings size proportionally, so postings bytes alone pick tiers)."""
+    import os
+
+    out: dict[int, int] = {}
+    for seg in _segment_ids(index_dir):
+        total = 0
+        for dirpath, _, files in os.walk(f"{index_dir}/segments/postings/seg={seg}"):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        out[seg] = total
+    return out
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    seg_ids: list[int] | None = None,
+    n_buckets: int = 16,
+    hot_df_threshold: int = 100_000,
+    n_shards: int = 8,
+    prune_superseded: bool = True,
+) -> int | None:
+    """Fold a CONTIGUOUS run of immutable segments into ONE new segment —
+    the middle tier of the size-tiered LSM (RocksDB/Lucene shape): minor
+    compaction drains level-0 at delta-sized cost, THIS folds piled-up
+    small segments at merged-run-sized cost, and major compaction
+    (:func:`compact_deltas`, the only op that rewrites main) runs rarely.
+    Main postings are never read. Returns the merged segment id (the
+    run's max — see below), or None when the run has fewer than 2 members.
+
+    Precedence safety: the read path resolves re-crawled docs by
+    doc-level latest-wins on segment id (delta > seg_N > ... > main), so
+    only a contiguous run may merge — merging around a gap would lift an
+    old version above a newer unmerged segment. The merged segment keeps
+    the run's MAX id, so its position in the precedence order is exactly
+    the run's. Within the run, each doc keeps only its latest version
+    (docs-table-derived, matching :class:`DeltaSearchEngine`; postings-
+    derived fallback for docless segments), and with ``prune_superseded``
+    docs already replaced by a LATER segment drop entirely (they are
+    unreachable — later segments are immutable so this is safe; the live
+    delta is mutable and deliberately NOT consulted).
+
+    The swap (write-aside, move run dirs to a trash staging, rename the
+    merged trees into ``seg=<max>``) is the local-FS stand-in for an
+    Iceberg REPLACE commit, same discipline as every other write site.
+
+    Reference analog: RediSearch continuously absorbs updates and
+    garbage-collects superseded entries while serving
+    (``src/storage/RedisSearchStorage.cpp:127-172``); at Spark scale that
+    becomes explicit segment merges."""
+    import os
+    import shutil
+    import time
+
+    from search_engine_core_spark.operators.postings import (
+        build_postings,
+        decode_postings_df,
+    )
+    from search_engine_core_spark.sources.index_io import IndexBuilder, _bucket_expr
+
+    existing = _segment_ids(index_dir)
+    run = sorted(seg_ids) if seg_ids is not None else existing
+    if len(run) < 2:
+        return None
+    missing = [s for s in run if s not in existing]
+    if missing:
+        raise ValueError(f"merge_segments: unknown segment ids {missing}")
+    gaps = [s for s in existing if run[0] < s < run[-1] and s not in run]
+    if gaps:
+        raise ValueError(
+            f"merge_segments: run {run} is not contiguous — segments {gaps} "
+            "sit inside it; merging around them would reorder doc-level "
+            "latest-wins precedence"
+        )
+    t0 = time.monotonic()
+    new_seg = run[-1]
+    run_lit = [int(s) for s in run]
+
+    post_root = f"{index_dir}/segments/postings"
+    decoded = decode_postings_df(
+        spark.read.option("basePath", post_root)
+        .parquet(post_root)
+        .filter(F.col("seg").isin(run_lit)),
+        carry=("seg",),
+    )
+
+    docs_root = f"{index_dir}/segments/docs"
+    run_docs = None
+    if os.path.isdir(docs_root) and any(
+        os.path.isdir(f"{docs_root}/seg={s}") for s in run
+    ):
+        run_docs = (
+            spark.read.option("basePath", docs_root)
+            .parquet(docs_root)
+            .filter(F.col("seg").isin(run_lit))
+        )
+
+    # (doc_id -> latest seg within the run); a doc whose latest version
+    # has no postings (e.g. re-crawled empty) still supersedes via docs
+    post_latest = decoded.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+    if run_docs is not None:
+        latest = run_docs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+        latest = latest.unionByName(
+            post_latest.join(latest.select("doc_id"), "doc_id", "left_anti")
+        )
+    else:
+        latest = post_latest
+    if prune_superseded:
+        later = [int(s) for s in existing if s > run[-1]]
+        if later and os.path.isdir(docs_root):
+            sup = (
+                spark.read.option("basePath", docs_root)
+                .parquet(docs_root)
+                .filter(F.col("seg").isin(later))
+                .select("doc_id")
+                .distinct()
+            )
+            latest = latest.join(sup, "doc_id", "left_anti")
+    latest = latest.localCheckpoint(eager=True)
+
+    kept = decoded.join(latest, ["doc_id", "seg"], "left_semi").drop("seg")
+    trip = kept.withColumn("bucket", _bucket_expr(n_buckets))
+    dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = build_postings(trip, dfreq, hot_df_threshold, n_shards, bucket_col=True)
+    tmp_post = f"{index_dir}/segments/_merge_post_tmp"
+    shutil.rmtree(tmp_post, ignore_errors=True)
+    (
+        postings.sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_post)
+    )
+
+    tmp_docs = None
+    if run_docs is not None:
+        tmp_docs = f"{index_dir}/segments/_merge_docs_tmp"
+        shutil.rmtree(tmp_docs, ignore_errors=True)
+        (
+            run_docs.join(latest, ["doc_id", "seg"], "left_semi")
+            .drop("seg")
+            .write.mode("overwrite")
+            .parquet(tmp_docs)
+        )
+
+    pos_root = f"{index_dir}/segments/positions"
+    run_pos = [s for s in run if os.path.isdir(f"{pos_root}/seg={s}")]
+    tmp_pos = None
+    if run_pos:
+        tmp_pos = f"{index_dir}/segments/_merge_pos_tmp"
+        shutil.rmtree(tmp_pos, ignore_errors=True)
+        pos = (
+            spark.read.option("basePath", pos_root)
+            .parquet(pos_root)
+            .filter(F.col("seg").isin([int(s) for s in run_pos]))
+            .join(latest, ["doc_id", "seg"], "left_semi")
+            .drop("seg")
+        )
+        (
+            pos.repartition("bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp_pos)
+        )
+
+    # swap: stage the run's dirs out, rename merged trees into seg=<max>
+    trash = f"{index_dir}/segments/_merge_trash"
+    shutil.rmtree(trash, ignore_errors=True)
+    for root, tmp in ((post_root, tmp_post), (docs_root, tmp_docs),
+                      (pos_root, tmp_pos)):
+        artifact = os.path.basename(root)
+        for s in run:
+            src = f"{root}/seg={s}"
+            if os.path.isdir(src):
+                os.makedirs(f"{trash}/{artifact}", exist_ok=True)
+                shutil.move(src, f"{trash}/{artifact}/seg={s}")
+        if tmp is not None and os.path.isdir(tmp):
+            shutil.move(tmp, f"{root}/seg={new_seg}")
+    shutil.rmtree(trash, ignore_errors=True)
+
+    IndexBuilder(spark, index_dir, n_buckets=n_buckets)._log_many(
+        [("merge_segments", new_seg, "completed", len(run), 0, 0,
+          int((time.monotonic() - t0) * 1000))]
+    )
+    return new_seg
+
+
+def pick_merge_runs(
+    index_dir: str, min_merge: int = 4, size_ratio: float = 4.0
+) -> list[list[int]]:
+    """Size-tiered compaction picks: contiguous runs of at least
+    ``min_merge`` segments in the same size tier, where a segment's tier
+    is ``floor(log_{size_ratio}(bytes))`` — similar-sized neighbors merge,
+    a big settled segment never re-merges with every small newcomer (the
+    write-amplification guarantee size-tiering exists for). Contiguity is
+    free here: candidates are consecutive slices of the id order."""
+    import math
+
+    sizes = segment_bytes(index_dir)
+
+    def tier(b: int) -> int:
+        return int(math.log(b, size_ratio)) if b > 1 else 0
+
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    for s in sorted(sizes):
+        if cur and tier(sizes[cur[-1]]) == tier(sizes[s]):
+            cur.append(s)
+        else:
+            if len(cur) >= min_merge:
+                runs.append(cur)
+            cur = [s]
+    if len(cur) >= min_merge:
+        runs.append(cur)
+    return runs
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int = 16,
+    hot_df_threshold: int = 100_000,
+    n_shards: int = 8,
+    min_merge: int = 4,
+    size_ratio: float = 4.0,
+) -> dict:
+    """One LSM maintenance tick: drain level-0 (minor compaction), then
+    apply the size-tiered merge policy until no run qualifies (each merge
+    strictly shrinks the segment count, so this terminates). Main is
+    never touched — major compaction (:func:`compact_deltas`) stays an
+    explicit, rare operation. Returns ``{"minor": seg_id|None,
+    "merged": [new_ids]}``."""
+    actions: dict = {
+        "minor": minor_compact(spark, index_dir, n_buckets, hot_df_threshold,
+                               n_shards),
+        "merged": [],
+    }
+    while True:
+        runs = pick_merge_runs(index_dir, min_merge, size_ratio)
+        if not runs:
+            return actions
+        for run in runs:
+            actions["merged"].append(
+                merge_segments(spark, index_dir, run, n_buckets,
+                               hot_df_threshold, n_shards)
+            )
+
+
 def delta_triples(spark: SparkSession, index_dir: str) -> DataFrame:
     """Current delta segments as (doc_id, term, tf).
 

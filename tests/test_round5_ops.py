@@ -299,19 +299,23 @@ def test_delta_engine_suggest_and_meta(spark, tmp_path, small_corpus):
 def test_lsm_random_lifecycle(spark, tmp_path, small_corpus):
     """Property test over the tiered design: a seeded RANDOM interleaving
     of {ingest micro-batch (new docs + re-crawls), minor_compact,
-    major compact_deltas} must keep the LSM read path rank-identical to
-    an in-memory engine over the latest-version corpus after EVERY step —
-    not just the fixed 3-segment scenario above. Catches precedence bugs
-    that only appear in orderings the scenario test never visits (e.g.
-    major compaction with a non-empty delta AND live segments, minor
-    compaction of a re-crawl that supersedes a doc already in a segment)."""
+    merge_segments over a random contiguous run, major compact_deltas}
+    must keep the LSM read path rank-identical to an in-memory engine
+    over the latest-version corpus after EVERY step — not just the fixed
+    3-segment scenario above. Catches precedence bugs that only appear in
+    orderings the scenario test never visits (e.g. major compaction with
+    a non-empty delta AND live segments, minor compaction of a re-crawl
+    that supersedes a doc already in a segment, a merge whose run sits
+    under newer unmerged segments)."""
     import random
 
     from search_engine_core_spark.engine import SearchEngine
     from search_engine_core_spark.sources.index_io import IndexBuilder
     from search_engine_core_spark.streaming.incremental import (
         DeltaSearchEngine,
+        _segment_ids,
         compact_deltas,
+        merge_segments,
         minor_compact,
     )
 
@@ -351,13 +355,23 @@ def test_lsm_random_lifecycle(spark, tmp_path, small_corpus):
         ).write.parquet(f"{inbox}/b{gen}")
         _stream(spark, inbox, idx, ckpt)
 
+    def merge_random_run():
+        segs = _segment_ids(idx)
+        if len(segs) < 2:
+            return
+        i = rng.randrange(len(segs) - 1)
+        j = rng.randrange(i + 1, len(segs))
+        merge_segments(spark, idx, segs[i:j + 1], **kw)
+
     ops = {"ingest": ingest,
            "minor": lambda: minor_compact(spark, idx, **kw),
+           "merge": merge_random_run,
            "major": lambda: compact_deltas(spark, idx, **kw)}
     # every op at least once, then a random tail — seeded, so the exact
     # interleaving is reproducible
-    plan = ["ingest", "minor", "ingest", "major"] + [
-        rng.choice(["ingest", "ingest", "minor", "major"]) for _ in range(6)
+    plan = ["ingest", "minor", "ingest", "minor", "merge", "major"] + [
+        rng.choice(["ingest", "ingest", "minor", "merge", "major"])
+        for _ in range(6)
     ]
     for step, op in enumerate(plan):
         ops[op]()
@@ -528,3 +542,172 @@ def test_embedding_upsert_rejects_duplicate_ids(spark, tmp_path, emb5):
     import json
 
     assert json.load(open(f"{d}/meta.json"))["n_vecs"] == 500  # untouched
+
+
+# --------------------- segment-to-segment merges (size-tiered middle layer)
+
+def test_pick_merge_runs_size_tiers(monkeypatch):
+    """Tier = floor(log_{ratio}(bytes)): similar-sized contiguous
+    neighbors group; a big settled segment breaks the run and is never
+    dragged into small merges (the write-amplification guarantee)."""
+    from search_engine_core_spark.streaming import incremental as inc
+
+    sizes = {0: 100, 1: 120, 2: 90, 3: 110, 4: 100_000, 5: 130, 6: 105, 7: 95}
+    monkeypatch.setattr(inc, "segment_bytes", lambda d: sizes)
+    assert inc.pick_merge_runs("x", min_merge=3) == [[0, 1, 2, 3], [5, 6, 7]]
+    assert inc.pick_merge_runs("x", min_merge=4) == [[0, 1, 2, 3]]
+    assert inc.pick_merge_runs("x", min_merge=5) == []
+
+
+def test_merge_segments_rank_identity_policy_and_guards(
+    spark, tmp_path, small_corpus
+):
+    """The size-tiered middle layer end-to-end: 4 delta generations
+    minor-compacted into segments [0..3], with re-crawls crossing tier
+    boundaries BOTH ways — a doc updated in gens 1/2/3 (its latest lives
+    INSIDE the merge run) and a seg-0 doc re-updated in gen4 (its latest
+    lives in seg 3, OUTSIDE the run, and must retain precedence over the
+    merged tier). merge_segments([0,1,2]) must keep ranks identical,
+    satisfy the integrity validator including deep decode, never read
+    main postings, and refuse non-contiguous runs; maybe_compact then
+    folds the rest by policy."""
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.engine import SearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.sources.validate import is_clean, validate_index
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        _segment_ids,
+        maybe_compact,
+        merge_segments,
+        minor_compact,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(5))
+    parts = [base.filter(h == i) for i in range(5)]
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4).build(
+        parts[0]
+    )
+
+    def updated(src_df, n, tag):
+        rows = src_df.limit(n).collect()
+        return spark.createDataFrame(
+            [
+                (r["repo"], r["path"], r["commit"], r["lang"],
+                 f"updatedphrase {tag} spark table merge " + r["content"][:40])
+                for r in rows
+            ],
+            CS,
+        )
+
+    u1 = updated(parts[0], 3, "gen1")           # -> seg 0
+    u2 = updated(parts[0].limit(3), 2, "gen2")  # -> seg 1
+    u3 = updated(parts[0].limit(2), 1, "gen3")  # -> seg 2 (in-run latest)
+    u4 = updated(parts[1], 1, "gen4")           # -> seg 3 (outside the run;
+    #                                               supersedes a seg-0 doc)
+
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    for i, (p, u) in enumerate(
+        [(parts[1], u1), (parts[2], u2), (parts[3], u3), (parts[4], u4)], start=1
+    ):
+        p.unionByName(u).write.parquet(f"{inbox}/b{i}")
+        _stream(spark, inbox, idx, ckpt)
+        assert (
+            minor_compact(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4)
+            == i - 1
+        )
+    assert _segment_ids(idx) == [0, 1, 2, 3]
+
+    gens = [with_doc_columns(df) for df in (u4, u3, u2, u1, base)]
+    ref_docs = gens[0]
+    for g in gens[1:]:
+        ref_docs = ref_docs.unionByName(
+            g.join(ref_docs.select("doc_id"), "doc_id", "left_anti")
+        )
+    ref = SearchEngine(ref_docs)
+    want = {
+        qq: [(r["doc_id"], r["score"]) for r in ref.search(qq, 10).collect()]
+        for qq in QUERIES
+    }
+    _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "4seg-premerge")
+
+    # guards: gap in the run / unknown id
+    with pytest.raises(ValueError, match="not contiguous"):
+        merge_segments(spark, idx, [0, 2], n_buckets=4)
+    with pytest.raises(ValueError, match="unknown segment ids"):
+        merge_segments(spark, idx, [0, 99], n_buckets=4)
+
+    # merge never reads main postings: succeed on a poisoned copy
+    import pathlib
+
+    poisoned = str(tmp_path / "poisoned")
+    shutil.copytree(idx, poisoned)
+    for f in pathlib.Path(f"{poisoned}/postings").rglob("*.parquet"):
+        f.write_bytes(b"not parquet")
+    assert merge_segments(spark, poisoned, [0, 1, 2], n_buckets=4,
+                          hot_df_threshold=100, n_shards=4) == 2
+
+    assert merge_segments(spark, idx, [0, 1, 2], n_buckets=4,
+                          hot_df_threshold=100, n_shards=4) == 2
+    assert _segment_ids(idx) == [2, 3]
+    eng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    _check(eng, want, "merged-012", planner_too=True)
+    _pin_wand_routing(eng, QUERIES, expected_routed=4)
+    report = validate_index(spark, idx, 4, deep=True)
+    assert is_clean(report), report
+
+    # policy tick folds the remaining same-tier pair; ranks unchanged
+    actions = maybe_compact(spark, idx, n_buckets=4, hot_df_threshold=100,
+                            n_shards=4, min_merge=2)
+    assert actions == {"minor": None, "merged": [3]}
+    assert _segment_ids(idx) == [3]
+    _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "policy-merged")
+    assert is_clean(validate_index(spark, idx, 4, deep=True))
+    ref.unpersist()
+
+
+def test_merge_segments_carries_positions_slim_index(spark, tmp_path, small_corpus):
+    """Slim main (no stored content) + positions sidecar: two segments
+    each carrying their own positions tree merge into one, and BOTH
+    folded docs' phrases still answer index-only afterwards."""
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        _segment_ids,
+        merge_segments,
+        minor_compact,
+    )
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(
+        spark, idx, n_buckets=4, n_shards=2, store_content=False,
+        store_positions=True,
+    ).build(small_corpus)
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    docs = [
+        ("org/new", "src/p.py", "c9", "python", "zebra quantum flux appears here"),
+        ("org/new2", "src/q.py", "c9", "python", "violet meson cascade appears here"),
+    ]
+    for i, row in enumerate(docs, start=1):
+        spark.createDataFrame([row], CS).write.parquet(f"{inbox}/b{i}")
+        _stream(spark, inbox, idx, ckpt)
+        assert minor_compact(spark, idx, n_buckets=4, hot_df_threshold=50,
+                             n_shards=2) == i - 1
+
+    assert merge_segments(spark, idx, [0, 1], n_buckets=4,
+                          hot_df_threshold=50, n_shards=2) == 1
+    assert _segment_ids(idx) == [1]
+    import os
+
+    assert os.path.isdir(f"{idx}/segments/positions/seg=1")
+    deng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    assert "content" not in deng.docs.columns
+    for row, phrase in zip(docs, ('"zebra quantum flux"', '"violet meson cascade"')):
+        want_id = with_doc_columns(
+            spark.createDataFrame([row[:4] + ("x",)], CS)
+        ).first()["doc_id"]
+        hits = deng.search(phrase, 10).collect()
+        assert [r["doc_id"] for r in hits] == [want_id], phrase
