@@ -150,13 +150,17 @@ def _assert_wand_identity(
 
 def _lsm_engine(spark: SparkSession, sf_dir: str):
     """Per-sf TIERED index for the driver-visible LSM check: main index
-    over 6/8 of the corpus, a minor-compacted immutable segment holding
-    STALE versions of bucket-0 docs plus the true bucket-1 docs, and a
-    live delta whose true bucket-0 versions supersede the segment's stale
+    over 5/8 of the corpus; TWO minor-compacted segments — seg 0 holding
+    STALE versions of bucket-0 docs plus the true bucket-1 docs, seg 1
+    the true bucket-2 docs — folded by ``merge_segments`` into ONE
+    merged segment (size-tiered middle layer, r5); and a live delta
+    whose true bucket-0 versions supersede the merged segment's stale
     rows. The logically-current view is therefore exactly the full
     documents table — so the unchanged DuckDB oracle doubles as the
-    ground truth for the whole [main ∖ superseded ⊎ segment ⊎ delta]
-    precedence chain. Tiers are written in the delta layout directly
+    ground truth for the whole [main ∖ superseded ⊎ merged segment ⊎
+    delta] precedence chain INCLUDING the merge (a merge that drops a
+    live row, resurrects a stale one, or mis-ranks the fold is a red
+    driver row). Tiers are written in the delta layout directly
     (the streaming file source re-derives doc_id from repo/path/commit,
     which the driver table does not carry; the on-disk contract is the
     same either way)."""
@@ -166,6 +170,7 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
     from search_engine_core_spark.operators.stats import triples
     from search_engine_core_spark.streaming.incremental import (
         DeltaSearchEngine,
+        merge_segments,
         minor_compact,
     )
 
@@ -176,10 +181,12 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
     idx_dir = str(Path(root) / ((Path(sf_dir).name or "sf") + "_lsm"))
     fp_file = Path(idx_dir) / "_corpus_fp.json"
     fp = _corpus_fingerprint(sf_dir)
+    _LAYOUT = 2  # bump when the tier construction below changes shape
     fresh = False
     if fp_file.exists():
         try:
-            fresh = json.loads(fp_file.read_text()).get("fp") == fp
+            meta = json.loads(fp_file.read_text())
+            fresh = meta.get("fp") == fp and meta.get("layout") == _LAYOUT
         except Exception:
             fresh = False
     if not fresh:
@@ -188,7 +195,9 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
         shutil.rmtree(idx_dir, ignore_errors=True)
         corpus = documents_as_corpus(spark, sf_dir)
         h = F.pmod(F.col("doc_id"), F.lit(8))
-        IndexBuilder(spark, idx_dir, n_buckets=8).build(corpus.filter(~h.isin(0, 1)))
+        IndexBuilder(spark, idx_dir, n_buckets=8).build(
+            corpus.filter(~h.isin(0, 1, 2))
+        )
 
         def append_batch(docs_df: DataFrame, batch_id: int) -> None:
             triples(docs_df).withColumn("batch_id", F.lit(batch_id)).write.mode(
@@ -205,9 +214,12 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
             "doclen", F.size(tokenize_expr("content"))
         ).withColumn("content_sha256", F.sha2("content", 256))
         append_batch(stale0.unionByName(corpus.filter(h == 1)), 0)
-        minor_compact(spark, idx_dir, n_buckets=8)
-        append_batch(corpus.filter(h == 0), 1)  # true versions supersede
-        fp_file.write_text(json.dumps({"fp": fp}))
+        minor_compact(spark, idx_dir, n_buckets=8)          # -> seg 0
+        append_batch(corpus.filter(h == 2), 1)
+        minor_compact(spark, idx_dir, n_buckets=8)          # -> seg 1
+        merge_segments(spark, idx_dir, [0, 1], n_buckets=8)  # -> merged seg 1
+        append_batch(corpus.filter(h == 0), 2)  # true versions supersede
+        fp_file.write_text(json.dumps({"fp": fp, "layout": _LAYOUT}))
     eng = DeltaSearchEngine(spark, idx_dir, n_buckets=8)
     _LSM_ENGINES[sf_dir] = eng
     return eng

@@ -131,11 +131,13 @@ def test_retrieval_rows_run_on_materialized_index(spark):
 
 def test_lsm_check_runs_on_tiered_cache(spark):
     """r5: q01/q03 additionally assert rank identity against
-    ``DeltaSearchEngine`` over a per-sf TIERED cache (main over 6/8 of
-    the corpus, a minor-compacted segment with stale versions, a live
-    delta with the true versions). Pin that the cache the driver row
-    exercised really has all three tiers — an accidental empty delta or
-    segment would make the in-entry assert vacuous."""
+    ``DeltaSearchEngine`` over a per-sf TIERED cache (main over 5/8 of
+    the corpus, TWO minor-compacted segments folded by merge_segments
+    into one — stale bucket-0 versions + true bucket-1/2 docs — and a
+    live delta with the true bucket-0 versions). Pin that the cache the
+    driver row exercised really has all three tiers AND went through the
+    merge — an accidental empty delta or segment would make the in-entry
+    assert vacuous."""
     from search_engine_core_spark import entry_queries as eq
     from search_engine_core_spark.streaming.incremental import (
         DeltaSearchEngine,
@@ -146,9 +148,16 @@ def test_lsm_check_runs_on_tiered_cache(spark):
     assert len(rows) > 0
     eng = eq._LSM_ENGINES.get(SF_DIR)
     assert isinstance(eng, DeltaSearchEngine)
-    assert _segment_ids(eng.index_dir) == [0]  # the minor-compacted tier
+    # segs [0, 1] were merged into seg 1 (size-tiered middle layer) —
+    # the driver row therefore validates the MERGED read path
+    assert _segment_ids(eng.index_dir) == [1]
     assert not eng.delta.isEmpty()  # live level-0 with the true versions
     assert eng.seg_docs is not None
+    # merge lineage row written by merge_segments
+    from pyspark.sql import functions as SF
+
+    log = eng.spark.read.parquet(f"{eng.index_dir}/_checkpoint")
+    assert log.filter(SF.col("stage") == "merge_segments").count() >= 1
     # precedence probe: "stalemarker" exists ONLY in superseded segment
     # rows — any latest-wins leak would surface it as a hit
     assert eng.search("stalemarker xyzzyterm", 10).count() == 0
