@@ -83,6 +83,11 @@ def validate_index(
     main_post = post  # dfreq cross-check is main-only (see docstring)
     seg_root = f"{index_dir}/segments/postings"
     docs_universe = docs.select("doc_id")
+    # an interrupted merge_segments swap: the inflight marker means the
+    # segment tree is mid-transition — recover_merge() rolls it forward
+    out["merge_inflight"] = int(
+        os.path.exists(f"{index_dir}/segments/_merge_inflight.json")
+    )
     if include_segments and os.path.isdir(seg_root):
         seg_post = spark.read.option("basePath", seg_root).parquet(seg_root)
         post = post.unionByName(seg_post.drop("seg"))

@@ -338,6 +338,7 @@ def merge_segments(
     )
     from search_engine_core_spark.sources.index_io import IndexBuilder, _bucket_expr
 
+    recover_merge(index_dir)  # heal any interrupted predecessor first
     existing = _segment_ids(index_dir)
     run = sorted(seg_ids) if seg_ids is not None else existing
     if len(run) < 2:
@@ -443,26 +444,83 @@ def merge_segments(
             .parquet(tmp_pos)
         )
 
-    # swap: stage the run's dirs out, rename merged trees into seg=<max>
-    trash = f"{index_dir}/segments/_merge_trash"
-    shutil.rmtree(trash, ignore_errors=True)
-    for root, tmp in ((post_root, tmp_post), (docs_root, tmp_docs),
-                      (pos_root, tmp_pos)):
-        artifact = os.path.basename(root)
-        for s in run:
-            src = f"{root}/seg={s}"
-            if os.path.isdir(src):
-                os.makedirs(f"{trash}/{artifact}", exist_ok=True)
-                shutil.move(src, f"{trash}/{artifact}/seg={s}")
-        if tmp is not None and os.path.isdir(tmp):
-            shutil.move(tmp, f"{root}/seg={new_seg}")
-    shutil.rmtree(trash, ignore_errors=True)
+    # swap: stage the run's dirs out, rename merged trees into seg=<max>.
+    # The merged trees are COMPLETE on disk before the marker is written,
+    # so an interrupted swap always rolls FORWARD (recover_merge); the
+    # marker+staging protocol is the local-FS stand-in for an Iceberg
+    # REPLACE commit's atomicity.
+    import json as _json
+
+    marker = f"{index_dir}/segments/_merge_inflight.json"
+    with open(marker, "w") as fh:
+        _json.dump({"run": [int(s) for s in run], "new_seg": int(new_seg)}, fh)
+    _finish_merge_swap(index_dir, run, new_seg)
+    os.remove(marker)
 
     IndexBuilder(spark, index_dir, n_buckets=n_buckets)._log_many(
         [("merge_segments", new_seg, "completed", len(run), 0, 0,
           int((time.monotonic() - t0) * 1000))]
     )
     return new_seg
+
+
+def _finish_merge_swap(index_dir: str, run: list[int], new_seg: int) -> None:
+    """The swap step of :func:`merge_segments`, shared with
+    :func:`recover_merge` and idempotent at every interruption point:
+    each artifact's merged tree renames into ``seg=<new_seg>`` (when its
+    tmp still exists), the run's old dirs stage into a trash dir, and the
+    trash drops last. ``seg=<new_seg>`` is both a run member (the old
+    dir) and the destination — the tmp's presence disambiguates: tmp
+    still there means the live ``seg=<new_seg>`` is the OLD dir (stage it
+    out), tmp gone means the rename already happened (leave it)."""
+    import os
+    import shutil
+
+    trash = f"{index_dir}/segments/_merge_trash"
+    for artifact, tmp_name in (("postings", "_merge_post_tmp"),
+                               ("docs", "_merge_docs_tmp"),
+                               ("positions", "_merge_pos_tmp")):
+        root = f"{index_dir}/segments/{artifact}"
+        tmp = f"{index_dir}/segments/{tmp_name}"
+        has_tmp = os.path.isdir(tmp)
+        for s in run:
+            if s == new_seg and not has_tmp:
+                continue  # already the merged tree
+            src = f"{root}/seg={s}"
+            if os.path.isdir(src):
+                os.makedirs(f"{trash}/{artifact}", exist_ok=True)
+                shutil.move(src, f"{trash}/{artifact}/seg={s}")
+        if has_tmp:
+            shutil.move(tmp, f"{root}/seg={new_seg}")
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def recover_merge(index_dir: str) -> int | None:
+    """Heal an interrupted :func:`merge_segments`. If the inflight marker
+    exists, the merged trees were already COMPLETE on disk (the marker is
+    written only after every tmp write finishes), so recovery always
+    rolls FORWARD: finish the swap, drop the marker, return the merged
+    segment id. Without a marker, any leftover tmp/trash dirs are
+    pre-commit garbage from a crash before the marker — dropped, returns
+    None. Called automatically at the head of merge_segments and
+    maybe_compact; single-writer discipline (one maintenance process per
+    index) is assumed, as everywhere else in this layout."""
+    import json as _json
+    import os
+    import shutil
+
+    marker = f"{index_dir}/segments/_merge_inflight.json"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        _finish_merge_swap(index_dir, [int(s) for s in meta["run"]],
+                           int(meta["new_seg"]))
+        os.remove(marker)
+        return int(meta["new_seg"])
+    for leftover in ("_merge_post_tmp", "_merge_docs_tmp", "_merge_pos_tmp",
+                     "_merge_trash"):
+        shutil.rmtree(f"{index_dir}/segments/{leftover}", ignore_errors=True)
+    return None
 
 
 def pick_merge_runs(
@@ -510,6 +568,7 @@ def maybe_compact(
     never touched — major compaction (:func:`compact_deltas`) stays an
     explicit, rare operation. Returns ``{"minor": seg_id|None,
     "merged": [new_ids]}``."""
+    recover_merge(index_dir)
     actions: dict = {
         "minor": minor_compact(spark, index_dir, n_buckets, hot_df_threshold,
                                n_shards),

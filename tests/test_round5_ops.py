@@ -711,3 +711,78 @@ def test_merge_segments_carries_positions_slim_index(spark, tmp_path, small_corp
         ).first()["doc_id"]
         hits = deng.search(phrase, 10).collect()
         assert [r["doc_id"] for r in hits] == [want_id], phrase
+
+
+def test_merge_crash_midswap_rolls_forward(spark, tmp_path, small_corpus):
+    """Fault-injected crash INSIDE the merge swap (postings artifact
+    already swapped, docs mid-staging): the inflight marker + the
+    already-complete merged trees mean recovery always rolls FORWARD —
+    recover_merge finishes the swap, ranks are identical to the
+    pre-crash engine, and the validator flags the inflight state while
+    it lasts."""
+    import shutil as _sh
+
+    from search_engine_core_spark.sources.validate import is_clean, validate_index
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        _segment_ids,
+        merge_segments,
+        minor_compact,
+        recover_merge,
+    )
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    idx = str(tmp_path / "idx")
+    IndexBuilder(spark, idx, n_buckets=4, hot_df_threshold=100, n_shards=4).build(
+        base.filter(h == 0)
+    )
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    for i in (1, 2):
+        base.filter(h == i).write.parquet(f"{inbox}/b{i}")
+        _stream(spark, inbox, idx, ckpt)
+        assert minor_compact(spark, idx, n_buckets=4, hot_df_threshold=100,
+                             n_shards=4) == i - 1
+
+    queries = ["spark merge", "return OR token"]
+    pre = DeltaSearchEngine(spark, idx, n_buckets=4)
+    want = {q: [(r["doc_id"], r["score"]) for r in pre.search(q, 10).collect()]
+            for q in queries}
+
+    # let the postings artifact's 3 moves (2 stage-outs + tmp rename)
+    # through, then die on the docs artifact's first stage-out
+    budget = {"left": 3}
+    real_move = _sh.move
+
+    def flaky(src, dst):
+        if budget["left"] == 0:
+            raise RuntimeError("injected crash")
+        budget["left"] -= 1
+        return real_move(src, dst)
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(_sh, "move", flaky)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            merge_segments(spark, idx, [0, 1], n_buckets=4,
+                           hot_df_threshold=100, n_shards=4)
+    finally:
+        mp.undo()
+
+    import os
+
+    assert os.path.exists(f"{idx}/segments/_merge_inflight.json")
+    report = validate_index(spark, idx, 4)
+    assert report["merge_inflight"] == 1
+
+    assert recover_merge(idx) == 1
+    assert _segment_ids(idx) == [1]
+    eng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    for q in queries:
+        got = [(r["doc_id"], r["score"]) for r in eng.search(q, 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want[q]], q
+        for (_, gs), (_, ws) in zip(got, want[q]):
+            assert math.isclose(gs, ws, rel_tol=1e-9), q
+    report = validate_index(spark, idx, 4, deep=True)
+    assert is_clean(report), report

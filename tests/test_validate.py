@@ -55,6 +55,7 @@ def test_clean_index_validates(spark, built_index):
         "df_vs_blocks", "block_align", "block_order", "max_tf_vs_blocks",
         "bucket_key", "dfreq_vs_postings", "stats_vs_docs", "docs_unique",
         "decode_error", "decode_count", "decode_tf", "orphan_postings",
+        "merge_inflight",
     }
 
 
