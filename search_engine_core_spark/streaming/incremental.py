@@ -75,6 +75,8 @@ def start_incremental_index(
     trigger_available_now: bool = True,
     source: str = "files",
     kafka_options: dict | None = None,
+    auto_compact_every: int | None = None,
+    compact_kwargs: dict | None = None,
 ):
     """Stream new corpus documents into delta triple segments under
     ``<index_dir>/delta``. Returns the StreamingQuery.
@@ -85,7 +87,17 @@ def start_incremental_index(
     the reference consumer's at-least-once contract; ``kafka_options``
     are the kwargs of :func:`kafka_source_options`. Everything after the
     source — batching, idempotent replay via batch_id, lineage — is
-    source-agnostic, so the swap is exactly the source + value parsing."""
+    source-agnostic, so the swap is exactly the source + value parsing.
+
+    ``auto_compact_every=N`` makes the stream maintain its own LSM shape:
+    after every N processed micro-batches it runs :func:`maybe_compact`
+    (fold level-0 into an immutable segment, then size-tiered segment
+    merges) inline in ``foreachBatch`` — the streaming twin of RediSearch
+    absorbing HSET updates transparently while serving
+    (``src/storage/RedisSearchStorage.cpp:127-172``). At-least-once
+    replays re-run the tick harmlessly (compaction of an empty level-0 is
+    a no-op and merges are idempotent per run). ``compact_kwargs`` pass
+    through to maybe_compact — n_buckets there MUST match the index."""
     if source == "kafka":
         raw = (
             spark.readStream.format("kafka")
@@ -101,6 +113,8 @@ def start_incremental_index(
         )
     else:
         raise ValueError(f"unknown source {source!r} (files|kafka)")
+
+    n_processed = {"n": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = with_doc_columns(batch_df)
@@ -118,6 +132,9 @@ def start_incremental_index(
             .write.mode("append")
             .parquet(f"{index_dir}/delta_docs")
         )
+        n_processed["n"] += 1
+        if auto_compact_every and n_processed["n"] % auto_compact_every == 0:
+            maybe_compact(spark, index_dir, **(compact_kwargs or {}))
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

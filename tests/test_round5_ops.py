@@ -786,3 +786,48 @@ def test_merge_crash_midswap_rolls_forward(spark, tmp_path, small_corpus):
             assert math.isclose(gs, ws, rel_tol=1e-9), q
     report = validate_index(spark, idx, 4, deep=True)
     assert is_clean(report), report
+
+
+def test_stream_auto_compaction_maintains_lsm_shape(spark, tmp_path, small_corpus):
+    """auto_compact_every: the ingest stream maintains its own LSM shape —
+    each micro-batch tick drains level-0 into a segment and the
+    size-tiered policy (min_merge=2) keeps folding neighbors, so three
+    generations settle into ONE segment with no manual maintenance calls;
+    ranks stay identical to an in-memory engine over the full corpus."""
+    from search_engine_core_spark.engine import SearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        _segment_ids,
+        start_incremental_index,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4))
+    idx = str(tmp_path / "idx")
+    kw = dict(n_buckets=4, hot_df_threshold=100, n_shards=4)
+    IndexBuilder(spark, idx, **kw).build(base.filter(h == 0))
+
+    inbox, ckpt = str(tmp_path / "inbox"), str(tmp_path / "ckpt")
+    for i in (1, 2, 3):
+        base.filter(h == i).write.parquet(f"{inbox}/b{i}")
+        q = start_incremental_index(
+            spark, f"{inbox}/b*", idx, ckpt,
+            auto_compact_every=1,
+            compact_kwargs=dict(**kw, min_merge=2, size_ratio=4.0),
+        )
+        q.awaitTermination(120)
+
+    import os
+
+    assert not os.path.isdir(f"{idx}/delta")  # level-0 always drained
+    assert _segment_ids(idx) == [2]  # 0,1 merged -> 1; 1,2 merged -> 2
+    eng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    ref = SearchEngine(small_corpus)
+    for qq in ("spark merge", "return OR token", '"spark table"'):
+        got = [(r["doc_id"], r["score"]) for r in eng.search(qq, 10).collect()]
+        exp = [(r["doc_id"], r["score"]) for r in ref.search(qq, 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], qq
+        for (_, gs), (_, ws) in zip(got, exp):
+            assert math.isclose(gs, ws, rel_tol=1e-9), qq
+    ref.unpersist()
