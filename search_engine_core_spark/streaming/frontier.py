@@ -65,6 +65,7 @@ def bfs_frontier(
     seeds: DataFrame,
     max_depth: int = 3,
     max_pages: int | None = None,
+    max_duration_s: float | None = None,
 ) -> DataFrame:
     """Iterative BFS: (url, depth) reachability with visited-set anti-join
     per wave (T1/T2). ``edges``: (src, dst); ``seeds``: (url).
@@ -72,8 +73,15 @@ def bfs_frontier(
     Driver loop over depth only (bounded, <= max_depth iterations); each
     wave is fully distributed. localCheckpoint truncates the growing
     lineage (same role as the reference persisting frontier state to
-    Mongo per wave, Crawler.cpp:62-78).
+    Mongo per wave, Crawler.cpp:62-78). ``max_duration_s`` is the T7
+    session-duration stop condition (``CrawlConfig.h:35``
+    maxSessionDuration — the reference kills a crawl session outliving
+    its budget): the wave loop stops expanding once the wall-clock budget
+    is spent; waves already computed are kept.
     """
+    import time as _time
+
+    t0 = _time.monotonic()
     visited = seeds.select(F.col("url"), F.lit(0).alias("depth")).distinct().localCheckpoint()
     # track the visited tally incrementally off each wave's own count —
     # no extra per-depth count job over the growing visited set
@@ -82,6 +90,8 @@ def bfs_frontier(
     for depth in range(1, max_depth + 1):
         if max_pages is not None and n_visited >= max_pages:
             break  # T8 stop condition
+        if max_duration_s is not None and _time.monotonic() - t0 >= max_duration_s:
+            break  # T7 session-duration stop condition
         nxt = (
             frontier.join(edges, frontier.url == edges.src)
             .select(F.col("dst").alias("url"))
@@ -97,6 +107,27 @@ def bfs_frontier(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def reap_expired_sessions(
+    sessions: DataFrame, now_ms: int, max_duration_ms: int = 600_000
+) -> DataFrame:
+    """T7 session lifecycle: the reference runs one worker thread per
+    crawl session and a cleanup thread that reaps sessions alive past
+    ``maxSessionDuration`` (10 min default —
+    ``src/crawler/CrawlerManager.cpp:44-76,316-330``,
+    ``CrawlConfig.h:35``). The Spark twin is a pure column expression
+    over the sessions table: ``running`` rows whose ``started_at_ms`` is
+    older than the cap flip to ``expired``; terminal rows pass through
+    untouched. Stateless and distributed — at 100 TB the "cleanup
+    thread" is just this projection applied on whatever cadence the
+    maintenance job runs."""
+    overdue = (F.col("status") == "running") & (
+        F.lit(now_ms) - F.col("started_at_ms") > F.lit(max_duration_ms)
+    )
+    return sessions.withColumn(
+        "status", F.when(overdue, F.lit("expired")).otherwise(F.col("status"))
+    )
 
 
 def politeness_last_hit(log: DataFrame) -> DataFrame:

@@ -548,9 +548,12 @@ def pick_merge_runs(
     is ``floor(log_{size_ratio}(bytes))`` — similar-sized neighbors merge,
     a big settled segment never re-merges with every small newcomer (the
     write-amplification guarantee size-tiering exists for). Contiguity is
-    free here: candidates are consecutive slices of the id order."""
+    free here: candidates are consecutive slices of the id order.
+    ``min_merge`` floors at 2 — a 1-segment "run" has nothing to fold
+    (and would spin :func:`maybe_compact`'s fixpoint loop forever)."""
     import math
 
+    min_merge = max(2, min_merge)
     sizes = segment_bytes(index_dir)
 
     def tier(b: int) -> int:

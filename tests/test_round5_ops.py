@@ -557,6 +557,8 @@ def test_pick_merge_runs_size_tiers(monkeypatch):
     assert inc.pick_merge_runs("x", min_merge=3) == [[0, 1, 2, 3], [5, 6, 7]]
     assert inc.pick_merge_runs("x", min_merge=4) == [[0, 1, 2, 3]]
     assert inc.pick_merge_runs("x", min_merge=5) == []
+    # min_merge floors at 2: a 1-segment "run" would spin maybe_compact
+    assert [4] not in inc.pick_merge_runs("x", min_merge=1)
 
 
 def test_merge_segments_rank_identity_policy_and_guards(

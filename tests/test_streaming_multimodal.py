@@ -59,6 +59,36 @@ def test_frontier_bfs(spark):
     got = {(r["url"], r["depth"]) for r in bfs_frontier(edges, seeds, max_depth=2).collect()}
     assert got == {("a", 0), ("b", 1), ("c", 2)}
     # cycle closes without revisiting; depth cap respected (d not reached)
+    # T7 session-duration stop: an exhausted budget stops wave expansion
+    got0 = {
+        (r["url"], r["depth"])
+        for r in bfs_frontier(edges, seeds, max_depth=2, max_duration_s=0).collect()
+    }
+    assert got0 == {("a", 0)}
+
+
+def test_reap_expired_sessions(spark):
+    """T7 cleanup-thread twin (CrawlerManager.cpp:316-330): running
+    sessions older than maxSessionDuration flip to expired; fresh and
+    terminal rows pass through."""
+    from search_engine_core_spark.streaming.frontier import reap_expired_sessions
+
+    now = 1_000_000
+    sessions = spark.createDataFrame(
+        [
+            ("s1", now - 700_000, "running"),   # overdue -> expired
+            ("s2", now - 100_000, "running"),   # within budget
+            ("s3", now - 900_000, "completed"), # terminal, untouched
+            ("s4", now - 900_000, "failed"),
+        ],
+        "session_id string, started_at_ms long, status string",
+    )
+    got = {
+        r["session_id"]: r["status"]
+        for r in reap_expired_sessions(sessions, now).collect()
+    }
+    assert got == {"s1": "expired", "s2": "running",
+                   "s3": "completed", "s4": "failed"}
 
 
 def test_failure_classification_and_backoff(spark):
