@@ -263,7 +263,10 @@ def main() -> None:
     )
 
     qs = build_queries()
-    for name in ["q01_bm25_or_topk", "q26_cosine_bruteforce_topk", "q33_lineitem_rollup"]:
+    # q27 = hybrid RRF (lexical index probe + cosine top-30 + O(k) fuse);
+    # its delta over q01+q26 is the fusion overhead, which should be noise
+    for name in ["q01_bm25_or_topk", "q26_cosine_bruteforce_topk",
+                 "q27_hybrid_rrf_topk", "q33_lineitem_rollup"]:
         dt = min(
             _timed(lambda: qs[name](spark, sf_dir).collect()) for _ in range(N_RUNS)
         )

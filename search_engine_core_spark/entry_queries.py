@@ -522,20 +522,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q26_cosine_bruteforce_topk"] = q26
 
+    # q27 (r5): hybrid lexical × vector RRF fusion. The lexical leg IS the
+    # q01 production path (materialized index + WAND identity assert); the
+    # vector leg is the exact cosine top-n; fusion is rank-only (SIGIR'09
+    # RRF), so the oracle recomputes both legs' ranks in SQL and sums
+    # 1/(60+rank). The old q27 full-bucket histogram assertion was
+    # absorbed: its per-bucket count is driver-checked via q28's new
+    # bucket_n column and the all-buckets histogram is pinned against a
+    # numpy twin in tests/test_fusion.py.
+    _hybrid_lex = _q_bm25("spark OR merge OR join", k=30)
+
     def q27(spark, sf_dir):
+        from search_engine_core_spark.operators.fusion import hybrid_rrf_topk
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return (
-            emb.select(similarity.signbit_bucket(F.col("embedding"), 8).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
+        return hybrid_rrf_topk(
+            _hybrid_lex(spark, sf_dir),
+            similarity.brute_force_topk(emb, _qvec(spark, sf_dir), 30, exclude_id=0),
+            k=10,
+            n_cand=30,
         )
 
-    q["q27_lsh_bucket_histogram"] = q27
+    q["q27_hybrid_rrf_topk"] = q27
 
     def q28(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return similarity.lsh_topk(
-            emb.filter(F.col("vec_id") != 0), _qvec(spark, sf_dir), 10, n_bits=8
+            emb.filter(F.col("vec_id") != 0), _qvec(spark, sf_dir), 10, n_bits=8,
+            with_bucket_n=True,
         )
 
     q["q28_ann_lsh_topk"] = q28
@@ -1288,20 +1302,46 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
     bucket_expr = " + ".join(
         f"(CASE WHEN embedding[{j+1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
     )
-    o["q27_lsh_bucket_histogram"] = f"""
-SELECT ({bucket_expr})::INTEGER AS bucket, count(*) AS n FROM embeddings GROUP BY 1
+    # q27: RRF fusion — lexical ranks from the q01-shaped BM25 top-30,
+    # vector ranks from the cosine top-30, score = sum(1/(60+rank)).
+    # Both rank orders are over the double-rounded scores + id tiebreak,
+    # identical to the Spark side by the repo-wide convention.
+    _lex30 = _bm25_sql(["spark", "merge", "join"], _CAND_ANY.format(t=t3), k=30)
+    o["q27_hybrid_rrf_topk"] = f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({_lex30})),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+  FROM (
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+               FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, round(round(
+        list_dot_product(e.ev, q.qv)
+        / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))),
+      7), 4) AS cos_sim
+    FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 30)),
+u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM vec)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score
+FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
     o["q28_ann_lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev,
          ({bucket_expr})::INTEGER AS bucket
   FROM embeddings),
-q AS (SELECT ev AS qv, bucket AS qb FROM e WHERE vec_id = 0)
-SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim FROM (
-  SELECT e.vec_id,
-         list_dot_product(e.ev, q.qv)
-         / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
-  FROM e CROSS JOIN q WHERE e.vec_id <> 0 AND e.bucket = q.qb)
+q AS (SELECT ev AS qv, bucket AS qb FROM e WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.ev, q.qv FROM e CROSS JOIN q
+         WHERE e.vec_id <> 0 AND e.bucket = q.qb)
+SELECT vec_id, round(round(cos_raw, 7), 4) AS cos_sim,
+       (SELECT count(*) FROM cand) AS bucket_n
+FROM (
+  SELECT vec_id,
+         list_dot_product(ev, qv)
+         / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cos_raw
+  FROM cand)
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
     o["q29_antijoin_no_orders"] = """

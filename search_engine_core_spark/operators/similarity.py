@@ -271,23 +271,36 @@ def lsh_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_bucket_n: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's sign-bit bucket.
     At 100 TB the embeddings table is written partitioned by bucket so this
     is a single-partition scan; recall can be raised by multi-probing
-    neighboring buckets (flip one bit) — not needed for the oracle check."""
+    neighboring buckets (flip one bit) — not needed for the oracle check.
+    ``with_bucket_n`` adds the candidate-set size (rows sharing the query's
+    bucket in the INPUT frame) as a constant ``bucket_n`` column — the
+    per-bucket histogram value the driver oracle recomputes (the window is
+    over the already bucket-pruned candidates, never the full table)."""
     qbucket = 0
     for j in range(n_bits):
         if float(query_vec[j]) > 0:
             qbucket |= 1 << j
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        embeddings.withColumn("bucket", signbit_bucket(F.col(vec_col), n_bits))
-        .filter(F.col("bucket") == qbucket)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.round(F.round(cosine(F.col(vec_col), q), 7), 4).alias("cos_sim"),
+    cand = embeddings.withColumn(
+        "bucket", signbit_bucket(F.col(vec_col), n_bits)
+    ).filter(F.col("bucket") == qbucket)
+    cols = [
+        F.col(id_col).alias("vec_id"),
+        F.round(F.round(cosine(F.col(vec_col), q), 7), 4).alias("cos_sim"),
+    ]
+    if with_bucket_n:
+        from pyspark.sql import Window
+
+        cols.append(
+            F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_n")
         )
+    return (
+        cand.select(*cols)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
