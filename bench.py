@@ -31,6 +31,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from search_engine_core_spark.corpus import synthesize_corpus  # noqa: E402
 from search_engine_core_spark.engine import IndexSearchEngine  # noqa: E402
 from search_engine_core_spark.session import get_spark  # noqa: E402
@@ -239,6 +241,42 @@ def main() -> None:
         _timed(lambda: ceng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
     )
     timings["lsm_query_compacted"] = round(dt, 3)
+
+    # -- embedding index: build + streaming re-embed freshness -------------
+    from search_engine_core_spark.sources.embedding_index import (
+        EmbeddingIndex,
+        EmbeddingIndexBuilder,
+    )
+    from search_engine_core_spark.streaming.embeddings import (
+        start_incremental_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_idx = f"{work}/emb_idx"
+    timings["emb_index_build"] = round(
+        _timed(lambda: EmbeddingIndexBuilder(spark, emb_idx, n_bits=6).build(emb)), 3
+    )
+    # streaming re-embed of ~5% of the corpus (deterministic: negated
+    # vectors — guaranteed bucket moves); freshness = micro-batch commit
+    # -> first probe seeing the fresh assignments (partition-local upsert,
+    # cost ~ touched leaves, never the index)
+    einbox, eckpt = f"{work}/emb_inbox", f"{work}/emb_ckpt"
+    n_emb = emb.count()
+    emb.orderBy("vec_id").limit(max(50, n_emb // 20)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    ).coalesce(1).write.mode("overwrite").parquet(einbox)
+    qvec_bench = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def _emb_refresh():
+        qq = start_incremental_embeddings(spark, einbox, emb_idx, eckpt)
+        qq.awaitTermination()
+        EmbeddingIndex(spark, emb_idx).ann_topk(qvec_bench, 10, n_probe=4).collect()
+
+    timings["emb_freshness"] = round(_timed(_emb_refresh), 3)
 
     # -- driver-table queries ---------------------------------------------
     from search_engine_core_spark.entry_queries import _engine, build_queries
