@@ -57,11 +57,11 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[sf_dir]
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents table (file names +
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap content fingerprint of a source table (file names +
     sizes + mtimes) — invalidates the on-disk index cache when the driver
     regenerates testdata between rounds."""
-    p = Path(sf_dir) / "documents.parquet"
+    p = Path(sf_dir) / f"{table}.parquet"
     files = sorted(p.rglob("*")) if p.is_dir() else [p]
     parts = [
         (f.name, f.stat().st_size, int(f.stat().st_mtime)) for f in files if f.is_file()
@@ -104,6 +104,82 @@ def _index_engine(spark: SparkSession, sf_dir: str) -> IndexSearchEngine:
     eng = IndexSearchEngine(spark, idx_dir, n_buckets=8)
     _INDEX_ENGINES[sf_dir] = eng
     return eng
+
+
+_EMB_INDEXES: dict[str, object] = {}
+
+
+def _emb_index(spark: SparkSession, sf_dir: str):
+    """The PRODUCTION ANN engine for the vector oracles (r5 — the vector
+    twin of :func:`_index_engine`): a materialized, partition-pruned
+    embedding index built once per sf_dir over embeddings MINUS the query
+    vector (the ad-hoc operators' exclude_id semantics), cached on disk,
+    answered by ``EmbeddingIndex`` probes. Layout params match the
+    oracles exactly: n_bits=8/seed=42 sign-LSH planes, centroids = the
+    vectors of vec_id 1..16 (oracle-portable). Reader results are
+    row-identical to the ad-hoc operators by construction (test-pinned),
+    so the oracle SQL is unchanged — any layout/assignment/probe
+    regression now turns a driver row red instead of being a pytest-only
+    fact."""
+    idx = _EMB_INDEXES.get(sf_dir)
+    if idx is not None:
+        return idx
+    from search_engine_core_spark.sources.embedding_index import (
+        EmbeddingIndex,
+        EmbeddingIndexBuilder,
+    )
+
+    root = os.environ.get(
+        "SECS_DRIVER_INDEX_ROOT",
+        str(Path(__file__).resolve().parent.parent / ".driver_index_cache"),
+    )
+    idx_dir = str(Path(root) / (Path(sf_dir).name or "sf") / "emb")
+    fp_file = Path(idx_dir) / "_corpus_fp.json"
+    fp = _corpus_fingerprint(sf_dir, table="embeddings")
+    fresh = False
+    if fp_file.exists():
+        try:
+            fresh = json.loads(fp_file.read_text()).get("fp") == fp
+        except Exception:
+            fresh = False
+    if not fresh:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        EmbeddingIndexBuilder(
+            spark,
+            idx_dir,
+            n_bits=8,
+            seed=42,
+            n_centroids=16,
+            centroid_ids=list(range(1, 17)),
+        ).build(emb.filter(F.col("vec_id") != 0))
+        fp_file.write_text(json.dumps({"fp": fp}))
+    idx = EmbeddingIndex(spark, idx_dir)
+    _EMB_INDEXES[sf_dir] = idx
+    return idx
+
+
+def _assert_ann_pruned(reader, bucket_probes=None, cell_probes=None) -> None:
+    """Hard in-entry proof that an ANN driver row answers from the
+    materialized vectors layout with the probe filter reaching the scan:
+    bucket probes must be PARTITION filters (bucket is a directory
+    column); cell probes must at least push down to the parquet scan
+    (PartitionFilters when the layout nested cells, PushedFilters when
+    the auto leaf guard kept cell a row-group-pruned sorted column)."""
+    df = reader.vectors()
+    if bucket_probes is not None:
+        df = df.filter(F.col("bucket").isin([int(b) for b in bucket_probes]))
+    if cell_probes is not None:
+        df = df.filter(F.col("cell").isin([int(c) for c in cell_probes]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "vectors" in plan, "ANN row does not scan the materialized index"
+    if bucket_probes is not None:
+        tail = plan[plan.index("PartitionFilters"):] if "PartitionFilters" in plan else ""
+        assert "bucket" in tail, "bucket probe is not partition-pruned"
+    if cell_probes is not None:
+        assert ("In(cell" in plan) or (
+            "PartitionFilters" in plan and "cell" in plan[plan.index("PartitionFilters"):]
+        ), "cell probe does not reach the scan"
 
 
 def _assert_reads_postings(eng: IndexSearchEngine, terms: list[str]) -> None:
@@ -821,31 +897,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q41_claim_order"] = q41
 
+    # q42/q43 (r5): answered from the MATERIALIZED embedding index — the
+    # production ANN path (write-time (bucket, cell) layout + partition-
+    # pruned probes) under the driver oracle, the vector twin of routing
+    # q01-q06 through the compressed-postings index. Probe sets are
+    # unchanged from the ad-hoc operators (q42: n_probe=9 = base bucket +
+    # EVERY single-bit flip, structural — margin ordering reorders but
+    # cannot change a full ring; q43: stored centroids = vec_id 1..16),
+    # so the oracle SQL is identical and a layout/assignment/probe
+    # regression turns the row red.
     def q42(spark, sf_dir):  # random-hyperplane sign-LSH ANN, full 1-bit probe ring
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        # n_probe = n_bits + 1 -> base bucket plus EVERY single-bit flip:
-        # the probe set is structural (no margin ordering), so the oracle
-        # needs no cross-engine float sort to agree on it
-        return similarity.ann_hyperplane_topk(
-            emb.filter(F.col("vec_id") != 0),
-            _qvec(spark, sf_dir),
-            10,
-            n_bits=8,
-            n_probe=9,
-            seed=42,
-        )
+        from search_engine_core_spark.operators.similarity import multiprobe_buckets
+
+        idx = _emb_index(spark, sf_dir)
+        qv = _qvec(spark, sf_dir)
+        _assert_ann_pruned(idx, bucket_probes=multiprobe_buckets(qv, idx.planes, 9))
+        return idx.ann_topk(qv, 10, n_probe=9)
 
     q["q42_ann_hyperplane_topk"] = q42
 
     def q43(spark, sf_dir):  # IVF-flat ANN with oracle-portable fixed centroids
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.ivf_topk(
-            emb.filter(F.col("vec_id") != 0),
-            _qvec(spark, sf_dir),
-            10,
-            n_probe=2,
-            centroid_ids=list(range(1, 17)),
-        )
+        idx = _emb_index(spark, sf_dir)
+        qv = _qvec(spark, sf_dir)
+        _assert_ann_pruned(idx, cell_probes=[0, 1])
+        return idx.ivf_topk(qv, 10, n_probe=2)
 
     q["q43_ivf_topk"] = q43
 
