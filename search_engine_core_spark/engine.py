@@ -75,25 +75,39 @@ class _PaginatedSearch:
         so an entry can never go stale within an engine's lifetime —
         index updates are served by opening a new engine, exactly like
         the reference invalidating its cache on re-index. A hit replays
-        the k collected rows as a local DataFrame: no distributed job."""
-        key = (query, int(k), algorithm)
-        cache = getattr(self, "_result_cache", None)
-        if cache is None:
-            from collections import OrderedDict
+        the k collected rows as a local DataFrame: no distributed job.
+        LRU bookkeeping is lock-guarded — a serving tier drives one
+        engine from many driver threads (the reference's uWS workers
+        share one Redis cache the same way); the search itself runs
+        outside the lock so concurrent misses don't serialize."""
+        import threading
+        from collections import OrderedDict
 
-            cache = self._result_cache = OrderedDict()
-        hit = cache.get(key)
+        key = (query, int(k), algorithm)
+        # dict.setdefault is atomic under the GIL — no two threads can
+        # observe different lock/cache objects
+        lock = self.__dict__.setdefault("_result_cache_lock", threading.Lock())
+        cache = self.__dict__.setdefault("_result_cache", OrderedDict())
+        with lock:
+            hit = cache.get(key)
+            if hit is not None:
+                cache.move_to_end(key)
         if hit is None:
             df = self.search(query, k=k, algorithm=algorithm)
             hit = (df.schema, df.collect())
-            cache[key] = hit
-            if len(cache) > self.CACHE_MAX:
-                cache.popitem(last=False)
-        else:
-            cache.move_to_end(key)
+            with lock:
+                cache[key] = hit
+                if len(cache) > self.CACHE_MAX:
+                    cache.popitem(last=False)
         from pyspark.sql import SparkSession
 
-        spark = getattr(self, "spark", None) or SparkSession.getActiveSession()
+        # getActiveSession() is THREAD-LOCAL (None in a fresh serving
+        # thread) — prefer the engine's own handles
+        spark = (
+            getattr(self, "spark", None)
+            or getattr(getattr(self, "docs", None), "sparkSession", None)
+            or SparkSession.getActiveSession()
+        )
         return spark.createDataFrame(hit[1], hit[0])
 
 

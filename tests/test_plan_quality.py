@@ -153,3 +153,25 @@ def test_html_extraction_is_single_stage_no_shuffle(spark):
     plan = _physical(H.parse_document(df))
     assert "Exchange" not in plan  # pure per-row projection
 
+
+
+def test_fusion_plan_topn_below_window_and_partial_agg(spark):
+    """RRF fusion stays O(k) in the PLAN, not just in intent: the
+    rank<=n_cand filter over the global window must collapse to a
+    TakeOrderedAndProject BELOW the window (WindowGroupLimit pushdown —
+    the window ranks n_cand rows, never the input), the groupBy must
+    map-side combine (partial_sum before the exchange), and the final
+    top-k must be a TakeOrderedAndProject, not a global sort."""
+    from search_engine_core_spark.operators.fusion import hybrid_rrf_topk
+
+    lex = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    vec = spark.range(300).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 89).cast("double").alias("cos_sim")
+    )
+    plan = _physical(hybrid_rrf_topk(lex, vec, k=10, n_cand=30))
+    # two per-leg top-n pushdowns + the final top-k
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert "limit=30" in plan, plan
+    assert "partial_sum" in plan, plan

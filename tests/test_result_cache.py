@@ -78,3 +78,26 @@ def test_cached_on_index_and_delta_engines(spark, corpus, tmp_path):
                 DeltaSearchEngine(spark, idx, n_buckets=4)):
         assert _rows(eng.search_cached("spark merge", 5)) == want
         assert _rows(eng.search_cached("spark merge", 5)) == want  # warm
+
+
+def test_cached_concurrent_hits_and_misses(spark, corpus):
+    """A serving tier drives one engine from many driver threads (the
+    reference's uWS workers share one Redis cache): concurrent mixed
+    hits/misses must neither corrupt the LRU nor return wrong rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from search_engine_core_spark.engine import SearchEngine
+
+    eng = SearchEngine(corpus)
+    queries = ["spark", "merge", "token", "spark merge"]
+    want = {q: _rows(eng.search(q, 5)) for q in queries}
+
+    def hammer(i):
+        q = queries[i % len(queries)]
+        return q, _rows(eng.search_cached(q, 5))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for q, got in ex.map(hammer, range(32)):
+            assert got == want[q]
+    assert set(eng._result_cache) == {(q, 5, "bm25") for q in queries}
+    eng.unpersist()
