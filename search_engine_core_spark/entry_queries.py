@@ -111,16 +111,16 @@ _EMB_INDEXES: dict[str, object] = {}
 
 def _emb_index(spark: SparkSession, sf_dir: str):
     """The PRODUCTION ANN engine for the vector oracles (r5 — the vector
-    twin of :func:`_index_engine`): a materialized, partition-pruned
-    embedding index built once per sf_dir over embeddings MINUS the query
-    vector (the ad-hoc operators' exclude_id semantics), cached on disk,
-    answered by ``EmbeddingIndex`` probes. Layout params match the
-    oracles exactly: n_bits=8/seed=42 sign-LSH planes, centroids = the
-    vectors of vec_id 1..16 (oracle-portable). Reader results are
-    row-identical to the ad-hoc operators by construction (test-pinned),
-    so the oracle SQL is unchanged — any layout/assignment/probe
-    regression now turns a driver row red instead of being a pytest-only
-    fact."""
+    twin of :func:`_index_engine`): ONE materialized, partition-pruned
+    embedding index built once per sf_dir over the full embeddings table,
+    cached on disk, answering the top-k probes (query row dropped via
+    ``exclude_id``, the ad-hoc operators' semantics) AND the near-dup
+    bucket join. Layout params match the oracles exactly: n_bits=8/
+    seed=42 sign-LSH planes, centroids = the vectors of vec_id 1..16
+    (oracle-portable). Reader results are row-identical to the ad-hoc
+    operators by construction (test-pinned), so the oracle SQL is
+    unchanged — any layout/assignment/probe regression now turns a
+    driver row red instead of being a pytest-only fact."""
     idx = _EMB_INDEXES.get(sf_dir)
     if idx is not None:
         return idx
@@ -135,7 +135,9 @@ def _emb_index(spark: SparkSession, sf_dir: str):
     )
     idx_dir = str(Path(root) / (Path(sf_dir).name or "sf") / "emb")
     fp_file = Path(idx_dir) / "_corpus_fp.json"
-    fp = _corpus_fingerprint(sf_dir, table="embeddings")
+    # "-full" = layout version token: the cache must invalidate when the
+    # build recipe changes, not only when the source table does
+    fp = _corpus_fingerprint(sf_dir, table="embeddings") + "-full"
     fresh = False
     if fp_file.exists():
         try:
@@ -144,7 +146,6 @@ def _emb_index(spark: SparkSession, sf_dir: str):
             fresh = False
     if not fresh:
         shutil.rmtree(idx_dir, ignore_errors=True)
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         EmbeddingIndexBuilder(
             spark,
             idx_dir,
@@ -152,7 +153,7 @@ def _emb_index(spark: SparkSession, sf_dir: str):
             seed=42,
             n_centroids=16,
             centroid_ids=list(range(1, 17)),
-        ).build(emb.filter(F.col("vec_id") != 0))
+        ).build(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
         fp_file.write_text(json.dumps({"fp": fp}))
     idx = EmbeddingIndex(spark, idx_dir)
     _EMB_INDEXES[sf_dir] = idx
@@ -912,7 +913,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _emb_index(spark, sf_dir)
         qv = _qvec(spark, sf_dir)
         _assert_ann_pruned(idx, bucket_probes=multiprobe_buckets(qv, idx.planes, 9))
-        return idx.ann_topk(qv, 10, n_probe=9)
+        return idx.ann_topk(qv, 10, n_probe=9, exclude_id=0)
 
     q["q42_ann_hyperplane_topk"] = q42
 
@@ -920,13 +921,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _emb_index(spark, sf_dir)
         qv = _qvec(spark, sf_dir)
         _assert_ann_pruned(idx, cell_probes=[0, 1])
-        return idx.ivf_topk(qv, 10, n_probe=2)
+        return idx.ivf_topk(qv, 10, n_probe=2, exclude_id=0)
 
     q["q43_ivf_topk"] = q43
 
-    def q44(spark, sf_dir):  # embedding-cosine near-dup pairs (LSH-bucketed)
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return similarity.embedding_near_dup(emb, threshold=0.25, n_bits=8, seed=42)
+    def q44(spark, sf_dir):  # embedding-cosine near-dup pairs over the
+        # MATERIALIZED bucket column (r5): the join key is the partition
+        # directory, so co-bucketed rows are co-located at read time — no
+        # per-query bucket recompute. Same planes as the ad-hoc operator,
+        # so the oracle SQL is unchanged.
+        idx = _emb_index(spark, sf_dir)
+        out = idx.near_dup(threshold=0.25)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "vectors" in plan, "near-dup does not scan the materialized index"
+        return out
 
     q["q44_embedding_near_dup"] = q44
 

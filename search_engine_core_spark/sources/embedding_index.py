@@ -611,17 +611,22 @@ class EmbeddingIndex:
         ).parquet(f"{self.index_dir}/vectors")
 
     # -- query paths -----------------------------------------------------
-    def ann_topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4) -> DataFrame:
+    def ann_topk(self, query_vec: list[float], k: int = 10, n_probe: int = 4,
+                 exclude_id: int | None = None) -> DataFrame:
         """Multi-probe sign-LSH top-k: bucket probes come from the stored
         hyperplanes, the isin hits PartitionFilters, exact cosine re-ranks
         only the probed partitions' rows. Row-identical to
-        ``similarity.ann_hyperplane_topk`` with the same (n_bits, seed)."""
+        ``similarity.ann_hyperplane_topk`` with the same (n_bits, seed).
+        ``exclude_id`` drops the query's own stored row BEFORE the top-k
+        boundary (self-match suppression when the query vector lives in
+        the index)."""
         probes = multiprobe_buckets(query_vec, self.planes, n_probe)
         q = F.array(*[F.lit(float(x)) for x in query_vec])
+        out = self.vectors().filter(F.col("bucket").isin(probes))
+        if exclude_id is not None:
+            out = out.filter(F.col("vec_id") != exclude_id)
         return (
-            self.vectors()
-            .filter(F.col("bucket").isin(probes))
-            .select(
+            out.select(
                 "vec_id",
                 F.round(F.round(cosine(F.col("embedding"), q), 7), 4).alias("cos_sim"),
             )
@@ -629,19 +634,22 @@ class EmbeddingIndex:
             .limit(k)
         )
 
-    def ivf_topk(self, query_vec: list[float], k: int = 10, n_probe: int = 2) -> DataFrame:
+    def ivf_topk(self, query_vec: list[float], k: int = 10, n_probe: int = 2,
+                 exclude_id: int | None = None) -> DataFrame:
         """IVF probe: rank stored centroids by rounded query cosine
         (stable sort, index tiebreak — same rule as ``similarity.ivf_topk``),
-        prune to those cells, exact cosine within."""
+        prune to those cells, exact cosine within. ``exclude_id`` as in
+        :meth:`ann_topk`."""
         cn = np.asarray(self.centroids, dtype=np.float64)
         qv = np.asarray(query_vec, dtype=np.float64)
         qcos = (cn @ qv) / (np.linalg.norm(cn, axis=1) * max(np.linalg.norm(qv), 1e-12))
         probe_ids = np.argsort(-np.round(qcos, 7), kind="stable")[:n_probe].tolist()
         q = F.array(*[F.lit(float(x)) for x in query_vec])
+        out = self.vectors().filter(F.col("cell").isin(probe_ids))
+        if exclude_id is not None:
+            out = out.filter(F.col("vec_id") != exclude_id)
         return (
-            self.vectors()
-            .filter(F.col("cell").isin(probe_ids))
-            .select(
+            out.select(
                 "vec_id",
                 F.round(F.round(cosine(F.col("embedding"), q), 7), 4).alias("cos_sim"),
             )
