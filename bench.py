@@ -310,6 +310,22 @@ def main() -> None:
         )
         timings[name] = round(dt, 3)
 
+    # -- dedup resolution: LSH pairs -> connected components -> corpus ----
+    # the full "actually deduplicate" pipeline (r5): candidate pairs over
+    # the whole documents table, min-label components, one survivor per
+    # cluster. Rounds = cluster diameter (≤ 2 by max_bucket construction),
+    # so the cost is a handful of join+groupBy rounds over the PAIR set.
+    from search_engine_core_spark.operators.components import canonical_docs
+    from search_engine_core_spark.operators.dedup import minhash_lsh_pairs
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _dedup_cc():
+        pairs = minhash_lsh_pairs(docs_tbl, n_perm=8, max_bucket=64)
+        canonical_docs(docs_tbl, pairs).count()
+
+    timings["dedup_cc"] = round(_timed(_dedup_cc), 3)
+
     total = time.monotonic() - t_suite
     shutil.rmtree(work, ignore_errors=True)
     print(

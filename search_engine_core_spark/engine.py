@@ -256,9 +256,11 @@ class IndexSearchEngine(_PaginatedSearch):
             trip = (
                 decode_postings_df(self.reader.postings_for_terms(toks)) if toks else None
             )
+            self.last_path = "fielded"
             return fielded_topk(self.reader.docs, query, k, trip=trip)
         ast = QueryParser().parse(query)
         mode = self._wand_mode(ast)
+        self.last_path = "planner"  # overwritten below when WAND routes
         if algorithm == "bm25" and mode is not None and k <= self.WAND_DRIVER_K_CAP:
             # pure term-only AND/OR shapes route through block-max WAND:
             # rank-identical by construction (test-pinned) and cheaper —
@@ -270,8 +272,24 @@ class IndexSearchEngine(_PaginatedSearch):
             # TakeOrdered plan with NO driver materialization, where
             # WAND's final merge would pull k rows through the driver
             # per query.
+            self.last_path = "wand"
             return self.wand.topk(scoring_terms(ast), k, mode=mode)
         return self._planner(scoring_terms(ast)).topk_ast(ast, k, algorithm)
+
+    @property
+    def last_query_stats(self) -> dict | None:
+        """Diagnostics of the most recent ``search``/``search_wand`` call:
+        {"route": "wand"|"planner", **WandTopK.last_stats when the WAND
+        path ran} — seed size, θ, early-exit, survivor count, fallback
+        labels. Best-effort observability (the scalars the driver already
+        holds); not synchronized across concurrent searches."""
+        route = getattr(self, "last_path", None)
+        if route is None:
+            return None
+        out = {"route": route}
+        if route == "wand" and self.wand.last_stats is not None:
+            out.update(self.wand.last_stats)
+        return out
 
     @staticmethod
     def _wand_mode(ast) -> str | None:
@@ -339,4 +357,5 @@ class IndexSearchEngine(_PaginatedSearch):
             or (isinstance(ast, Term) and not ast.exact)
             else "OR"
         )
+        self.last_path = "wand"
         return self.wand.topk(terms, k, mode=mode, **wand_kwargs)

@@ -49,6 +49,8 @@ from search_engine_core_spark.operators.similarity import cosine
 
 __all__ = [
     "train_pq",
+    "train_opq",
+    "reconstruct_np",
     "encode_pq",
     "adc_lut",
     "pq_adc_topk",
@@ -95,26 +97,116 @@ def train_pq(
     for j in range(m):
         xs = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
         cent = xs[rng.permutation(n)[:k]].copy()
-        for _ in range(iters):
-            # (n, k) squared distances via the expanded form; argmin ties
-            # resolve to the lowest index — deterministic.
-            d2 = (
-                (xs * xs).sum(axis=1, keepdims=True)
-                - 2.0 * (xs @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            assign = np.argmin(d2, axis=1)
-            counts = np.bincount(assign, minlength=k)
-            sums = np.zeros((k, dsub))
-            np.add.at(sums, assign, xs)
-            nonempty = counts > 0
-            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
-            for empty in np.flatnonzero(~nonempty):
-                far = int(np.argmax(d2[np.arange(n), assign]))
-                cent[empty] = xs[far]
-                assign[far] = empty
-        books[j] = cent
+        books[j] = _lloyd(xs, cent, iters)
     return books
+
+
+def _lloyd(xs: np.ndarray, cent: np.ndarray, iters: int) -> np.ndarray:
+    """Deterministic Lloyd's iterations from GIVEN initial centroids —
+    shared by the seeded cold start (``train_pq``) and the warm restarts
+    OPQ's monotonicity proof requires (``train_opq``). Each iteration's
+    assignment + recenter is monotone non-increasing in quantization
+    error; the deterministic empty-cluster re-seed is the one step that
+    may locally raise it (it trades a dead code for coverage)."""
+    n = xs.shape[0]
+    k, dsub = cent.shape
+    cent = cent.copy()
+    for _ in range(iters):
+        # (n, k) squared distances via the expanded form; argmin ties
+        # resolve to the lowest index — deterministic.
+        d2 = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2.0 * (xs @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, dsub))
+        np.add.at(sums, assign, xs)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        for empty in np.flatnonzero(~nonempty):
+            far = int(np.argmax(d2[np.arange(n), assign]))
+            cent[empty] = xs[far]
+            assign[far] = empty
+    return cent
+
+
+def reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes -> (n, d) reconstructed vectors (codebook
+    lookup per subspace). The PQ approximation the ADC score implicitly
+    ranks by; used by the OPQ trainer and the reconstruction-error tests."""
+    m, k, dsub = books.shape
+    return np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def train_opq(
+    sample: np.ndarray,
+    m: int = 8,
+    n_bits: int = 8,
+    seed: int = 0,
+    iters: int = 20,
+    opq_iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized PQ (Ge, He, Ke, Sun, "Optimized Product Quantization",
+    CVPR 2013 — public; the non-parametric variant): learn an orthogonal
+    rotation R so the m-way subspace split aligns with the data's
+    correlation structure before quantizing. Plain PQ quantizes fixed
+    coordinate blocks — when variance straddles a block boundary (always,
+    for real embeddings), it wastes code budget; OPQ alternates
+
+      1. fix R: train PQ codebooks on the rotated sample (x @ R),
+      2. fix codes: solve the orthogonal Procrustes problem
+         min_R ||X R − Y||_F  (Y = reconstructions)  via  R = U Vᵀ,
+         U S Vᵀ = svd(Xᵀ Y),
+
+    each step minimizing the shared quantization-error objective, so the
+    error is MONOTONE NON-INCREASING in ``opq_iters`` (the identity-R
+    first pass IS plain PQ — OPQ can only match or beat it; pinned by
+    test). Returns ``(R, codebooks)`` with R (d, d) orthogonal.
+
+    Encode/query contract: encode ``x @ R`` with the codebooks; rotate
+    the query by R before building the ADC LUT. Rotation preserves inner
+    products and L2 norms, so ADC scores still approximate cosine.
+    Deterministic for fixed inputs: seeded k-means inside, deterministic
+    LAPACK SVD of a fixed matrix.
+
+    ``opq_iters=0`` returns (identity, plain-PQ codebooks) — the explicit
+    "no rotation" degenerate the parity tests use.
+
+    Monotonicity needs the codebook step WARM-STARTED (Lloyd refinement
+    of the current books on the re-rotated data) — a fresh seeded
+    retrain could land in a worse local minimum and break the
+    PQ-never-worse guarantee the test pins. (Caveat shared with all
+    Lloyd variants: the deterministic empty-cluster re-seed may locally
+    raise the error; it essentially never fires on a warm start.)
+    """
+    # the identity-R cold start trains on the RAW sample (train_pq
+    # normalizes internally) so opq_iters=0 is byte-identical to train_pq;
+    # the loop then works in the normalized view (rotation preserves it)
+    books = train_pq(sample, m=m, n_bits=n_bits, seed=seed, iters=iters)
+    x = _normalize_rows(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    dsub = d // m
+    r = np.eye(d)
+    for _ in range(opq_iters):
+        y = reconstruct_np(_encode_batch(x @ r, books), books)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        r = u @ vt
+        xr = x @ r  # norms preserved: R is orthogonal
+        books = np.stack(
+            [
+                _lloyd(
+                    np.ascontiguousarray(xr[:, j * dsub : (j + 1) * dsub]),
+                    books[j],
+                    iters,
+                )
+                for j in range(m)
+            ]
+        )
+    return r, books
 
 
 def _encode_batch(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -140,6 +232,7 @@ def encode_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Encode an embedding column to PQ codes: (id, code binary[, kept]).
 
@@ -147,8 +240,12 @@ def encode_pq(
     call, no per-row Python. ``keep_cols`` passes partition columns
     (bucket/cell) through so the codes table can be written with the same
     directory layout as the vectors and probed with the same pruning.
+    ``rotation``: the OPQ matrix from :func:`train_opq` — vectors are
+    rotated before encoding (queries must rotate identically at LUT
+    time; the index stores R beside the codebooks so they can't drift).
     """
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    rot = None if rotation is None else np.ascontiguousarray(rotation, dtype=np.float64)
     kept = list(keep_cols)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,6 +253,8 @@ def encode_pq(
             if len(pdf) == 0:
                 continue
             vecs = np.stack(pdf[vec_col].to_numpy())
+            if rot is not None:
+                vecs = np.asarray(vecs, dtype=np.float64) @ rot
             codes = _encode_batch(vecs, books)
             out = {"vec_id": pdf[id_col].to_numpy(),
                    "code": [c.tobytes() for c in codes]}
@@ -169,16 +268,22 @@ def encode_pq(
     return df.mapInPandas(gen, schema)
 
 
-def adc_lut(query_vec, codebooks: np.ndarray) -> np.ndarray:
+def adc_lut(query_vec, codebooks: np.ndarray,
+            rotation: np.ndarray | None = None) -> np.ndarray:
     """(m, k) table of per-subspace inner products for a NORMALIZED query.
 
     ``sum_j LUT[j][code[j]]`` approximates cosine(query, vec) and equals
     it exactly when the codebook reconstructs the vector exactly.
+    ``rotation`` (OPQ): the query rotates through the SAME R the codes
+    were encoded under — R is orthogonal, so qᵀv = (qR)ᵀ(vR) and the ADC
+    sum still approximates the original-space cosine.
     """
     q = np.asarray(query_vec, dtype=np.float64)
     nq = np.linalg.norm(q)
     if nq > 0:
         q = q / nq
+    if rotation is not None:
+        q = q @ np.asarray(rotation, dtype=np.float64)
     m, k, dsub = codebooks.shape
     lut = np.empty((m, k), dtype=np.float64)
     for j in range(m):
@@ -198,6 +303,7 @@ def pq_adc_topk(
     query_vec,
     codebooks: np.ndarray,
     k: int = 10,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k over PQ codes only: scan cost is m bytes/row.
 
@@ -206,7 +312,7 @@ def pq_adc_topk(
     a function of the emitted value (same convention as the exact paths).
     """
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
-    lut = adc_lut(query_vec, books)
+    lut = adc_lut(query_vec, books, rotation)
     m = books.shape[0]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -238,13 +344,18 @@ def pq_refined_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC shortlist of ``k*refine`` ids, then EXACT cosine over only
     those rows (broadcast semi-join on id — the shortlist is k*refine
     rows, always broadcastable). The standard IVF-PQ+refine shape: the
     full-precision read is proportional to the shortlist, not the probe.
+    The exact re-rank runs in the ORIGINAL space — ``rotation`` only
+    shapes the shortlist (better shortlist, same final metric).
     """
-    shortlist = pq_adc_topk(codes_df, query_vec, codebooks, k=k * refine).select(
+    shortlist = pq_adc_topk(
+        codes_df, query_vec, codebooks, k=k * refine, rotation=rotation
+    ).select(
         F.col("vec_id").alias("__pq_short_id")
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -210,6 +210,13 @@ class WandTopK:
     index) score against their CURRENT length; main-live docs' rows are
     identical in both views, so the override is always safe."""
 
+    #: per-query diagnostics, overwritten by every ``topk`` call (see
+    #: the assignment sites for keys). Best-effort observability for a
+    #: serving tier: scalars the driver already holds — recording them
+    #: costs nothing. NOT synchronized: under concurrent searches on one
+    #: engine, read it only for monitoring, never for control flow.
+    last_stats: dict | None = None
+
     def __init__(self, reader, stats: CorpusStats, docs: DataFrame | None = None):
         self.reader = reader
         self.stats = stats
@@ -315,8 +322,16 @@ class WandTopK:
         would NOT be rank-identical, since a survivor's pruned blocks may
         hide part of its true score."""
         spark = self.reader.spark
+        # one dict per query, mutated at each stage so every early return
+        # leaves an accurate trace; "path" is the coarse outcome label
+        st = self.last_stats = {
+            "path": "wand", "mode": mode, "terms": list(terms), "k": k,
+            "rarest": None, "seed_size": 0, "theta": None,
+            "early_exit": False, "survivors": 0, "tier": extra_trip is not None,
+        }
         empty = spark.createDataFrame([], "doc_id long, score double")
         if not terms:
+            st["path"] = "empty"
             return empty
         # NO cache: every pass re-reads the bucket-pruned parquet with
         # column pruning — caching would materialize the hot terms' binary
@@ -350,10 +365,12 @@ class WandTopK:
                     term_stats[r["term"]] = (d0 + int(r["df"]), max(m0, int(r["max_tf"])))
         present = [t for t in terms if t in term_stats]
         if not present:
+            st["path"] = "empty"
             return empty
         n = self.stats.n_docs
 
         if mode == "AND" and len(present) < len(terms):
+            st["path"] = "empty"
             return empty
 
         if exclude_ids is not None:
@@ -409,9 +426,11 @@ class WandTopK:
         rare_post = postings.filter(F.col("term") == rarest)
         rest_post = postings.filter(F.col("term") != rarest)
 
+        st["rarest"] = rarest
         if term_stats[rarest][0] > seed_cap:
             # degenerate query: every term is hot — fall back to the
             # distributed full decode (no driver-side id set).
+            st["path"] = "full_decode_fallback"
             return _fallback()
 
         # pass 1: decode ONLY the rarest term, and collect ONLY its doc-id
@@ -447,7 +466,9 @@ class WandTopK:
             if exclude_ids is not None:
                 keep = np.isin(rare_ids, exclude_ids, invert=True)
                 rare_ids, dls = rare_ids[keep], dls[keep]
+        st["seed_size"] = int(rare_ids.size)
         if rare_ids.size == 0 and extra_trip is None:
+            st["path"] = "empty"
             return empty
         # rare_ids may be empty with update tiers present (a term so far
         # seen only in a tier): main seeding is a no-op, the tier branch
@@ -475,6 +496,7 @@ class WandTopK:
                 .limit(k)
                 .collect()
             )
+            st["path"] = "and_semijoin"
             return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
         seed_top = (
@@ -484,6 +506,7 @@ class WandTopK:
             .collect()
         )
         theta = seed_top[-1]["score"] if len(seed_top) >= k else float("-inf")
+        st["theta"] = theta
 
         ubs = {t: term_upper_bound(d, m, n) for t, (d, m) in term_stats.items()}
         # early exit: a doc WITHOUT the rarest term scores at most the sum
@@ -492,6 +515,7 @@ class WandTopK:
         # Discriminative queries (rare term carries the IDF mass) take
         # this path, leaving WAND at 3 driver jobs total.
         if theta > sum(u for t2, u in ubs.items() if t2 != rarest):
+            st["early_exit"] = True
             return (
                 spark.createDataFrame(seed_top, "doc_id long, score double")
                 if seed_top
@@ -508,7 +532,9 @@ class WandTopK:
         surv_rows = (
             pruned_trip.select("doc_id").distinct().limit(cap + 1).collect()
         )
+        st["survivors"] = len(surv_rows)
         if len(surv_rows) > cap:
+            st["path"] = "survivor_overflow_fallback"
             return _fallback()
         pruned_ids = np.array([r["doc_id"] for r in surv_rows], dtype=np.int64)
         if exclude_ids is not None:

@@ -160,6 +160,8 @@ class EmbeddingIndexBuilder:
         )
 
     def _completed(self) -> set[tuple[str, int]]:
+        from pyspark.errors import AnalysisException
+
         try:
             rows = (
                 self.spark.read.parquet(f"{self.index_dir}/_checkpoint")
@@ -167,7 +169,7 @@ class EmbeddingIndexBuilder:
                 .select("stage", "partition_id")
                 .collect()
             )
-        except Exception:
+        except AnalysisException:  # no lineage yet — fresh build
             return set()
         return {(r["stage"], r["partition_id"]) for r in rows}
 
@@ -403,14 +405,21 @@ class EmbeddingIndexBuilder:
     def _pq_meta_path(self) -> str:
         return f"{self.index_dir}/pq_meta.json"
 
-    def _pq_books(self) -> "np.ndarray | None":
+    def _pq_books(self) -> "tuple[np.ndarray, np.ndarray | None] | None":
+        """(codebooks, rotation-or-None) from the sidecar meta, or None."""
         if not os.path.exists(self._pq_meta_path()):
             return None
         with open(self._pq_meta_path()) as f:
-            return np.asarray(json.load(f)["codebooks"], dtype=np.float64)
+            pm = json.load(f)
+        rot = pm.get("rotation")
+        return (
+            np.asarray(pm["codebooks"], dtype=np.float64),
+            None if rot is None else np.asarray(rot, dtype=np.float64),
+        )
 
     def add_pq(self, m: int = 8, n_bits: int = 8, seed: int = 0,
-               sample_n: int = 4096, iters: int = 20) -> None:
+               sample_n: int = 4096, iters: int = 20,
+               opq_iters: int = 0) -> None:
         """Attach a product-quantization codes sidecar (``operators/pq.py``)
         mirroring the vectors' partition layout, so every probe can read
         m bytes/vec instead of 4*dim and re-rank only a shortlist.
@@ -421,8 +430,20 @@ class EmbeddingIndexBuilder:
         collect). Codebooks live in pq_meta.json; upsert/delete refresh
         the affected code partitions with the STORED codebooks, so codes
         stay consistent without retraining (retrain = call add_pq again).
+
+        ``opq_iters > 0`` trains OPQ (Ge et al. CVPR'13): a learned
+        orthogonal rotation aligning the subspace split with the data
+        before quantizing — reconstruction error is never worse than
+        plain PQ (warm-started alternation, test-pinned) and the
+        shortlist improves wherever variance straddles subspace
+        boundaries. R is stored beside the codebooks and applied
+        identically at encode, refresh and query time.
         """
-        from search_engine_core_spark.operators.pq import encode_pq, train_pq
+        from search_engine_core_spark.operators.pq import (
+            encode_pq,
+            train_opq,
+            train_pq,
+        )
 
         meta = self._require_meta()
         part_cols = meta["partitioned_by"]
@@ -434,16 +455,25 @@ class EmbeddingIndexBuilder:
             .limit(sample_n)
             .collect()
         )
-        books = train_pq(
-            np.asarray([r["embedding"] for r in sample_rows]),
-            m=m, n_bits=n_bits, seed=seed, iters=iters,
-        )
+        sample = np.asarray([r["embedding"] for r in sample_rows])
+        if opq_iters > 0:
+            rot, books = train_opq(
+                sample, m=m, n_bits=n_bits, seed=seed, iters=iters,
+                opq_iters=opq_iters,
+            )
+        else:
+            rot, books = None, train_pq(
+                sample, m=m, n_bits=n_bits, seed=seed, iters=iters
+            )
         keep = [c for c in ("bucket", "cell") if c in self._vectors().columns]
-        codes = encode_pq(self._vectors(), books, keep_cols=tuple(keep))
+        codes = encode_pq(self._vectors(), books, keep_cols=tuple(keep),
+                          rotation=rot)
         obs = self._write_codes(codes, part_cols, f"{self.index_dir}/pq")
         with open(self._pq_meta_path(), "w") as f:
             json.dump({"m": m, "n_bits": n_bits, "seed": seed, "iters": iters,
                        "sample_n": sample_n, "dim": meta["dim"],
+                       "opq_iters": opq_iters,
+                       "rotation": None if rot is None else rot.tolist(),
                        "codebooks": books.tolist()}, f)
         self._log("pq", -1, int(obs.get["n"]), t0)
 
@@ -466,15 +496,17 @@ class EmbeddingIndexBuilder:
         the rewritten partitions' rows (``rows`` is the same merged/kept
         plan the vectors write used, evaluated BEFORE the vectors swap so
         it still reads the old files) with the stored codebooks."""
-        books = self._pq_books()
-        if books is None:
+        loaded = self._pq_books()
+        if loaded is None:
             return
+        books, rot = loaded
         from search_engine_core_spark.operators.pq import encode_pq
 
         keep = [c for c in ("bucket", "cell") if c in rows.columns]
         tmp = f"{self.index_dir}/pq_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        self._write_codes(encode_pq(rows, books, keep_cols=tuple(keep)),
+        self._write_codes(encode_pq(rows, books, keep_cols=tuple(keep),
+                                    rotation=rot),
                           part_cols, tmp)
         moved = self._swap_in(tmp, part_cols, subdir="pq")
         for vals in before - moved:
@@ -687,6 +719,10 @@ class EmbeddingIndex:
             pm = json.load(f)
         return np.asarray(pm["codebooks"], dtype=np.float64), pm
 
+    def _pq_rotation(self, pm: dict) -> "np.ndarray | None":
+        rot = pm.get("rotation")
+        return None if rot is None else np.asarray(rot, dtype=np.float64)
+
     def pq_codes(self) -> DataFrame:
         """The codes sidecar: same directory layout as vectors/, so the
         same partition filters prune it — but each row is m bytes."""
@@ -707,10 +743,12 @@ class EmbeddingIndex:
             pq_refined_topk,
         )
 
-        books, _ = self._pq()
+        books, pm = self._pq()
+        rot = self._pq_rotation(pm)
         probes = multiprobe_buckets(query_vec, self.planes, n_probe)
         codes = self.pq_codes().filter(F.col("bucket").isin(probes))
         if not refine:
-            return pq_adc_topk(codes, query_vec, books, k=k)
+            return pq_adc_topk(codes, query_vec, books, k=k, rotation=rot)
         vecs = self.vectors().filter(F.col("bucket").isin(probes))
-        return pq_refined_topk(codes, vecs, query_vec, books, k=k, refine=refine)
+        return pq_refined_topk(codes, vecs, query_vec, books, k=k, refine=refine,
+                               rotation=rot)

@@ -31,6 +31,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,7 +100,7 @@ class IndexBuilder:
                 .select("stage", "partition_id")
                 .collect()
             )
-        except Exception:
+        except AnalysisException:  # no lineage yet — fresh build
             return set()
         return {(r["stage"], r["partition_id"]) for r in rows}
 
@@ -109,7 +110,7 @@ class IndexBuilder:
                 F.max("attempt").alias("a")
             ).collect()[0]
             return int(row["a"] or 0) + 1
-        except Exception:
+        except AnalysisException:  # no lineage yet — first attempt
             return 1
 
     def _mark(self, stage: str, t0: float) -> float:

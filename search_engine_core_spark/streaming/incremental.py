@@ -613,9 +613,11 @@ def delta_triples(spark: SparkSession, index_dir: str) -> DataFrame:
     batch_id); a doc re-crawled in a LATER batch is resolved by keeping
     only its latest batch's triples — max(tf) across batches would pin a
     stale higher tf forever and never drop removed terms."""
+    from pyspark.errors import AnalysisException
+
     try:
         raw = spark.read.parquet(f"{index_dir}/delta")
-    except Exception:
+    except AnalysisException:  # no delta dir yet — empty level-0
         return spark.createDataFrame([], "doc_id long, term string, tf long")
     deduped = raw.dropDuplicates(["doc_id", "term", "batch_id"])
     latest = deduped.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
@@ -674,6 +676,8 @@ class DeltaSearchEngine(_PaginatedSearch):
         self._term_bucket = term_bucket
         self.reader = IndexReader(spark, index_dir, n_buckets)
         self.delta = delta_triples(spark, index_dir).localCheckpoint(eager=True)
+        from pyspark.errors import AnalysisException
+
         try:
             ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
             w_latest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
@@ -683,7 +687,7 @@ class DeltaSearchEngine(_PaginatedSearch):
                 .drop("batch_id")
                 .localCheckpoint(eager=True)
             )
-        except Exception:
+        except AnalysisException:
             # no delta_docs (empty level-0, e.g. right after compaction):
             # an empty frame with the MAIN docs schema keeps every column
             # through the union (a narrower schema would project content
@@ -803,6 +807,8 @@ class DeltaSearchEngine(_PaginatedSearch):
         ast = QueryParser().parse(query)
         terms = scoring_terms(ast)
         mode = IndexSearchEngine._wand_mode(ast)
+        self.last_path = "planner"  # same observability hook as the
+        # batch engine (engine.last_query_stats); overwritten below
         if (
             algorithm == "bm25"
             and terms
@@ -812,8 +818,20 @@ class DeltaSearchEngine(_PaginatedSearch):
         ):
             # same routing contract as IndexSearchEngine.search: pure
             # term-only AND/OR bm25 shapes take the block-max path
+            self.last_path = "wand"
             return self._wand_topk(terms, k, mode)
         return self._search_planner(ast, terms, k, algorithm)
+
+    @property
+    def last_query_stats(self) -> dict | None:
+        """LSM twin of ``IndexSearchEngine.last_query_stats``."""
+        route = getattr(self, "last_path", None)
+        if route is None:
+            return None
+        out = {"route": route}
+        if route == "wand" and self.wand.last_stats is not None:
+            out.update(self.wand.last_stats)
+        return out
 
     def _tier_triples(self, terms: list[str]) -> DataFrame:
         """The update tiers' (doc_id, term, tf) for the query terms:

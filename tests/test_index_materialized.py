@@ -167,3 +167,39 @@ def test_wand_survivor_cap_overflow_rank_identical(engines, terms):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+class TestQueryObservability:
+    """engine.last_query_stats — the per-query diagnostics a serving tier
+    monitors (route taken, seed size, θ, early exit, fallback labels).
+    Values are scalars the driver already held; the contract here is that
+    the trace matches what the query actually did."""
+
+    def test_wand_route_records_seed_and_theta(self, engines):
+        _, idx = engines
+        idx.search("spark OR merge OR token", 10).collect()
+        st = idx.last_query_stats
+        assert st["route"] == "wand" and st["mode"] == "OR"
+        assert st["rarest"] in {"spark", "merge", "token"}
+        assert st["seed_size"] > 0
+        # OR path past the seed: either early-exited on θ or ran pass 2
+        assert st["early_exit"] or st["theta"] is not None
+
+    def test_and_route_label(self, engines):
+        _, idx = engines
+        idx.search("spark AND merge", 10).collect()
+        st = idx.last_query_stats
+        assert st["route"] == "wand" and st["path"] == "and_semijoin"
+
+    def test_planner_route_for_phrase(self, engines):
+        _, idx = engines
+        idx.search('"spark table" merge', 10).collect()
+        assert idx.last_query_stats["route"] == "planner"
+
+    def test_survivor_overflow_fallback_labeled(self, engines):
+        _, idx = engines
+        idx.search_wand("merge OR data OR value", 10, survivor_cap=0).collect()
+        st = idx.last_query_stats
+        assert st["route"] == "wand"
+        # either pass 2 never ran (early exit) or the forced cap tripped
+        assert st["early_exit"] or st["path"] == "survivor_overflow_fallback"
