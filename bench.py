@@ -110,6 +110,16 @@ def main() -> None:
         lat_ms.append(dt * 1000)
     lat_sorted = sorted(lat_ms)
     p95 = lat_sorted[min(len(lat_sorted) - 1, int(0.95 * len(lat_sorted)))]
+    # batched evaluation (r5, operators/batch_query): ALL 8 queries in ONE
+    # plan — one union-term postings decode + one vectorized scoring pass
+    # for the plain shapes. Compare with sum(search_0..7): the delta is
+    # N-1 scheduling round-trips, the per-query floor a query tier pays
+    # when it answers a replay log one query at a time.
+    dt = min(
+        _timed(lambda: eng.search_many(QUERY_SET, 10).collect())
+        for _ in range(N_RUNS)
+    )
+    timings["query_batch8"] = round(dt, 3)
     # cached-response layer (reference parity: Redis result cache, 2 ms
     # cached vs 150 ms uncached) — cold fill untimed, then warm hits
     eng.search_cached("spark merge", 10).collect()

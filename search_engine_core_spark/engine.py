@@ -147,6 +147,20 @@ class SearchEngine(_PaginatedSearch):
         terms = scoring_terms(self.planner.parser.parse(query)) if highlight else []
         return _meta_with_snippet(self.search(query, k), self.docs, terms, highlight)
 
+    def search_many(self, queries: list[str], k: int = 10,
+                    algorithm: str = "bm25") -> DataFrame:
+        """Batched evaluation: N queries, ONE plan (operators/batch_query).
+        Returns (query, doc_id, score) with per-query top-k, rank-identical
+        to :meth:`search` per query. Route counts land in
+        ``last_batch_stats``."""
+        from search_engine_core_spark.operators.batch_query import search_many
+
+        out, self.last_batch_stats = search_many(
+            self.docs.sparkSession, queries, k, self.trip, self.dfreq,
+            self.docs, self.stats, algorithm, self.planner.field_map,
+        )
+        return out
+
     def unpersist(self) -> None:
         for df in (self.trip, self.dfreq, self.docs):
             df.unpersist()
@@ -359,3 +373,36 @@ class IndexSearchEngine(_PaginatedSearch):
         )
         self.last_path = "wand"
         return self.wand.topk(terms, k, mode=mode, **wand_kwargs)
+
+    def search_many(self, queries: list[str], k: int = 10,
+                    algorithm: str = "bm25") -> DataFrame:
+        """Batched evaluation over the materialized index: the union of
+        all queries' tokens prunes ONE postings scan (decoded once,
+        checkpoint-materialized), then ``operators/batch_query`` scores
+        plain shapes vectorized and routes the rest through per-query
+        Planner subtrees over the same decoded set — N queries cost one
+        scan + one plan instead of N scheduling round-trips. Returns
+        (query, doc_id, score); rank-identical to :meth:`search` per
+        query (test-pinned). Route counts land in ``last_batch_stats``."""
+        from search_engine_core_spark.operators.batch_query import search_many
+        from search_engine_core_spark.operators.postings import decode_postings_df
+        from search_engine_core_spark.plans.planner import scoring_terms
+
+        parser = QueryParser()
+        all_toks = sorted(
+            {t for q in queries for t in scoring_terms(parser.parse(q))}
+        )
+        if all_toks:
+            trip = decode_postings_df(
+                self.reader.postings_for_terms(all_toks)
+            ).localCheckpoint(eager=True)
+        else:
+            trip = self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long"
+            )
+        out, self.last_batch_stats = search_many(
+            self.spark, queries, k, trip, self.reader.dfreq,
+            self.reader.docs, self.stats, algorithm,
+            self.field_map, self._phrase_docs_fn(),
+        )
+        return out

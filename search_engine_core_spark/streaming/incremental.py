@@ -1009,6 +1009,45 @@ class DeltaSearchEngine(_PaginatedSearch):
         terms = scoring_terms(QueryParser().parse(query)) if highlight else []
         return _meta_with_snippet(self.search(query, k), self.docs, terms, highlight)
 
+    def search_many(self, queries: list[str], k: int = 10,
+                    algorithm: str = "bm25") -> DataFrame:
+        """Batched evaluation over the LSM view (operators/batch_query):
+        the union of all queries' tokens drives ONE merged-tier decode —
+        [main ∖ superseded ⊎ segments (latest-wins) ⊎ delta], the exact
+        trip `_search_planner` builds per query — checkpoint-materialized
+        once, with df computed over it (identical to the WAND path's
+        merged df = df_main − sup + df_tier by construction). N queries
+        cost one tier scan + one plan instead of N. Returns
+        (query, doc_id, score), per-query top-k rank-identical to
+        :meth:`search` (test-pinned incl. across segment tiers). Route
+        counts land in ``last_batch_stats``."""
+        from search_engine_core_spark.operators.batch_query import search_many
+        from search_engine_core_spark.operators.postings import decode_postings_df
+        from search_engine_core_spark.plans.planner import scoring_terms
+        from search_engine_core_spark.plans.query_parser import QueryParser
+
+        parser = QueryParser()
+        all_toks = sorted(
+            {t for q in queries for t in scoring_terms(parser.parse(q))}
+        )
+        if all_toks:
+            trip = (
+                decode_postings_df(self.reader.postings_for_terms(all_toks))
+                .join(self._sup_main, "doc_id", "left_anti")
+                .unionByName(self._tier_triples(all_toks))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            trip = self.spark.createDataFrame(
+                [], "doc_id long, term string, tf long"
+            )
+        dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        out, self.last_batch_stats = search_many(
+            self.spark, queries, k, trip, dfreq, self.docs, self.stats,
+            algorithm, None, self._phrase_docs_fn(),
+        )
+        return out
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """S14 over the LSM view: prefix terms weighted by summed df
         across [main dfreq ⊎ segment postings (term, df) — a metadata
