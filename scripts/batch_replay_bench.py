@@ -19,7 +19,7 @@ shuffle partition count, same index, same query log) — only resources
 vary. Min-of-2 per config.
 
 Usage: python scripts/batch_replay_bench.py [n_docs] [n_queries]
-       (defaults 100000 128; executors are 2 cores each)
+       (defaults 100000 512; executors are 2 cores each)
 Appends results to BENCH/BASELINE.md like the other scaling harnesses.
 """
 
@@ -47,15 +47,16 @@ eng = IndexSearchEngine(spark, {index!r}, n_buckets=8)
 # Deterministic replay log: distinct 2-term queries over the corpus's
 # medium vocabulary (selective terms, positive idf), alternating AND/OR —
 # all plain shapes, so the whole log takes the vectorized batch path.
+# All ordered vocab pairs (30 x 29 = 870 distinct) are enumerated so the
+# log size actually reaches n_queries.
 from search_engine_core_spark.corpus import _MED
-log, i = [], 0
-while len(log) < {n_queries}:
-    a = _MED[i % len(_MED)]
-    b = _MED[(i * 7 + 3) % len(_MED)]
-    if a != b:
-        log.append(f"{{a}} OR {{b}}" if i % 2 else f"{{a}} {{b}}")
-    i += 1
-log = list(dict.fromkeys(log))[: {n_queries}]
+log = []
+for i, a in enumerate(_MED):
+    for j, b in enumerate(_MED):
+        if a != b:
+            log.append(f"{{a}} OR {{b}}" if (i + j) % 2 else f"{{a}} {{b}}")
+log = log[: {n_queries}]
+assert len(log) == {n_queries}, len(log)
 
 # warm: parquet footers, dictionary, Python worker pools (untimed)
 eng.search_many(log[:8], 10).collect()
@@ -88,7 +89,7 @@ def run(n_exec: int, index: str, n_queries: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
     # shares the prebuilt read-only index with query_throughput_bench
     index = f"/dev/shm/qps_idx_{n_docs}"

@@ -43,6 +43,10 @@ from search_engine_core_spark.operators.stats import CorpusStats
 from search_engine_core_spark.plans.planner import Planner, scoring_terms
 from search_engine_core_spark.plans.query_parser import And, Node, Or, QueryParser, Term
 
+# ~16 B/doc hash relation: 4M docs ≈ 64 MB broadcast — safe on any real
+# executor; above this, the doclen join falls back to Catalyst's choice.
+_DOCLEN_BROADCAST_MAX = 4_000_000
+
 
 def plain_mode(ast: Node) -> str | None:
     """'AND' / 'OR' for pure plain-term shapes whose DSL semantics the
@@ -78,20 +82,42 @@ def _batch_plain_topk(
     One broadcast of the (query, term) table, one candidate join, one
     groupBy, one window — the per-query work is rows in a plan, not plans.
     """
-    qtok_rows = [
-        (q, mode, t, len(toks)) for q, mode, toks in plain for t in toks
-    ]
+    qtok_rows = [(q, t) for q, _, toks in plain for t in toks]
     if not qtok_rows:
         return spark.createDataFrame([], "query string, doc_id long, score double")
-    qtok = spark.createDataFrame(
-        qtok_rows, "query string, _mode string, term string, _n_toks int"
+    # (query, term) fan-out rows and per-query metadata are SEPARATE
+    # relations: keeping _mode/_n_toks out of the candidate aggregation
+    # keeps its buffer all-numeric (sum + count), so Spark plans a
+    # codegen'd Tungsten HashAggregate. Folding them in as first(...)
+    # forces SortAggregate — a full sort of the fan-out rows that measured
+    # 10x the CPU of the hash shape on a 128-query replay (BENCH notes).
+    qtok = spark.createDataFrame(qtok_rows, "query string, term string")
+    qmeta = spark.createDataFrame(
+        [(q, mode, len(toks)) for q, mode, toks in plain],
+        "query string, _mode string, _n_toks int",
     )
-    terms = sorted({r[2] for r in qtok_rows})
+    terms = sorted({t for _, t in qtok_rows})
     # doc-level join first (one row per (term, doc)), THEN the broadcast
-    # query fan-out — doclen rides the smaller relation
+    # query fan-out — doclen rides the smaller relation. The doclen side
+    # is ~16 B/doc: explicitly broadcast below _DOCLEN_BROADCAST_MAX docs
+    # (Catalyst's file-size estimate of the docs table includes content
+    # columns and picks a sort-merge join otherwise); at larger corpora
+    # the shuffle co-partition is the right shape — or denormalize doclen
+    # into the postings at build time.
+    doclen = docs.select("doc_id", "doclen")
+    if stats.n_docs <= _DOCLEN_BROADCAST_MAX:
+        doclen = F.broadcast(doclen)
+    # Repartition the pruned postings by doc_id BEFORE the query fan-out:
+    # hashpartitioning(doc_id) satisfies the (query, doc_id) aggregation's
+    # clustering requirement (doc_id ⊆ group keys), so the agg runs
+    # exchange-free and the only sizeable shuffle is the trip rows
+    # themselves — NOT the trip × queries fan-out (batch-size-independent
+    # wire traffic; an A/B at 128 queries measured the fan-out exchange
+    # 2-4x slower across separate executor JVMs).
     per_term = (
         trip.filter(F.col("term").isin(terms))
-        .join(docs.select("doc_id", "doclen"), "doc_id", "inner")
+        .repartition(F.col("doc_id"))
+        .join(doclen, "doc_id", "inner")
         .join(F.broadcast(dfreq.filter(F.col("term").isin(terms))), "term", "inner")
         .withColumn(
             "term_score",
@@ -110,12 +136,12 @@ def _batch_plain_topk(
         .agg(
             F.sum("term_score").alias("score"),
             F.count(F.lit(1)).alias("_nt"),
-            F.first("_mode").alias("_mode"),
-            F.first("_n_toks").alias("_n_toks"),
         )
+        .join(F.broadcast(qmeta), "query", "inner")
         # AND: the doc must hold ALL of the query's tokens (qtok rows are
-        # distinct per (query, term), trip is one row per (term, doc), so
-        # the group count IS the matched-token count); OR: any.
+        # distinct per (query, term) — scoring_terms dedupes — and trip is
+        # one row per (term, doc), so the group count IS the matched-token
+        # count); OR: any.
         .filter((F.col("_mode") == "OR") | (F.col("_nt") == F.col("_n_toks")))
     )
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))

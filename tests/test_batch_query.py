@@ -164,3 +164,18 @@ def test_lsm_engine_batch_rank_identity(spark, small_corpus, tmp_path):
         assert [d for d, _ in mine] == [d for d, _ in single], f"rank drift: {qq}"
         for (_, gs), (_, ns) in zip(mine, single):
             assert math.isclose(gs, ns, rel_tol=1e-9), f"score drift: {qq}"
+
+
+def test_vectorized_batch_plan_shape(ieng):
+    """Perf regression pin: the vectorized candidate aggregation must be a
+    Tungsten HashAggregate (keeping _mode/_n_toks out of the agg buffer —
+    a first(...) there forces SortAggregate, a full sort of the fan-out
+    rows that measured ~10x the CPU on a 128-query replay), and the
+    doclen join must broadcast at small-corpus scale, not sort-merge."""
+    res = ieng.search_many(["spark merge", "spark OR token"], k=5)
+    assert ieng.last_batch_stats == {"vectorized": 2, "planner": 0}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, "agg degraded to SortAggregate"
+    assert "SortMergeJoin" not in plan, "doclen join degraded to SMJ"
+    assert len(res.collect()) > 0
