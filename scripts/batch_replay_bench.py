@@ -61,16 +61,20 @@ assert len(log) == {n_queries}, len(log)
 # warm: parquet footers, dictionary, Python worker pools (untimed)
 eng.search_many(log[:8], 10).collect()
 
-best = None
-for _ in range(2):
+# min-of-5 with the full draw disclosed: same-plan reps on this box vary
+# up to 2x (executor JIT + GC + shared memory bus), so a min-of-2 draw is
+# not adjudicable — the min is the capability number, the spread is the
+# honesty number.
+walls = []
+for _ in range(5):
     t0 = time.monotonic()
     n_rows = len(eng.search_many(log, 10).collect())
-    wall = time.monotonic() - t0
-    best = wall if best is None or wall < best else best
+    walls.append(round(time.monotonic() - t0, 2))
 assert eng.last_batch_stats["planner"] == 0, eng.last_batch_stats
+best = min(walls)
 print("RESULT " + json.dumps({{"n_executors": n_exec, "n_queries": len(log),
-      "wall_sec": round(best, 2), "qps": round(len(log) / best, 2),
-      "result_rows": n_rows}}))
+      "wall_sec": best, "walls": walls,
+      "qps": round(len(log) / best, 2), "result_rows": n_rows}}))
 """
 
 
@@ -107,27 +111,33 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", code], check=True,
                        capture_output=True, timeout=1800)
 
+    import shutil
+
     small = run(1, index, n_queries)
+    for leftover in Path("/dev/shm/spark_local").glob("*"):
+        shutil.rmtree(leftover, ignore_errors=True)
     big = run(4, index, n_queries)
     eff = (big["qps"] / small["qps"]) / 4.0
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
         "%Y-%m-%d %H:%M UTC")
     block = f"""
-## Batched-replay scaling {stamp} (same {n_docs}-doc index, one search_many plan over a {n_queries}-distinct-query log, local-cluster, 2 cores/executor, min-of-2)
+## Batched-replay scaling {stamp} (same {n_docs}-doc index, one search_many plan over a {n_queries}-distinct-query log, local-cluster, 2 cores/executor, min-of-5)
 
-| config | queries | wall sec | QPS |
-|---|---|---|---|
-| 1 x 2 executors (N)  | {small['n_queries']} | {small['wall_sec']} | {small['qps']} |
-| 4 x 2 executors (4N) | {big['n_queries']} | {big['wall_sec']} | {big['qps']} |
+| config | queries | wall sec (min) | all draws | QPS |
+|---|---|---|---|---|
+| 1 x 2 executors (N)  | {small['n_queries']} | {small['wall_sec']} | {small['walls']} | {small['qps']} |
+| 4 x 2 executors (4N) | {big['n_queries']} | {big['wall_sec']} | {big['walls']} | {big['qps']} |
 
 Executor-axis efficiency: **{eff:.2f}** = (QPS_4exec / QPS_1exec) / 4.
-The batch plan removes the per-query driver floor that capped the
-sequential executor axis (~0.60 in the query-throughput runs): the
-driver submits a constant number of jobs for the whole log, so added
-executors absorb the scan/join/groupBy/window work directly. This is
-the query-side scaling shape a replay-log / offline-eval / A/B-scorer
-workload actually runs at 100 TB — per-interactive-query latency stays
-the pod-axis story (0.885).
+The batch plan turns a replay log into a constant number of driver jobs
+(one pruned postings decode + one vectorized score/topk plan), so added
+executors absorb the scan/join/groupBy/window work directly — compare
+the SEQUENTIAL executor axis (~0.60), where each query pays its own
+driver round-trips. Residual off-ceiling loss at this scale is the
+per-batch fixed work (pruned-scan decode on few input splits, three
+tiny broadcasts, final collect) over only ~10-20 s of parallel work —
+it amortizes with batch size; the QPS column (vs ~1-2 QPS sequential
+per-query on identical hardware) is the workload-level story.
 """
     with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
         f.write(block)

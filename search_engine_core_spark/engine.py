@@ -18,15 +18,26 @@ from search_engine_core_spark.plans.planner import Planner
 from search_engine_core_spark.plans.query_parser import QueryParser
 
 
-def clamp_page_limit(page: int, limit: int) -> tuple[int, int]:
+def clamp_page_limit(page: int, limit: int, strict: bool = False) -> tuple[int, int]:
     """The search API's bounds (``src/search_api.cpp:162-181``): limit
-    [1, 100], page [1, 1000]. DOCUMENTED DEVIATION: the reference REJECTS
-    out-of-range values with a 400-style error ("Page must be between 1
-    and 1000", valid=false); this engine saturates to the nearest bound
-    instead — a DataFrame API has no request/response cycle to 400 on,
-    and clamping keeps batch callers total. The bounds themselves are the
-    reference's."""
-    return max(1, min(1000, int(page))), max(1, min(100, int(limit)))
+    [1, 100], page [1, 1000].
+
+    ``strict=True`` is exact reference parity: out-of-range values are
+    REJECTED with a :class:`ValueError` carrying the reference's own
+    messages ("Page must be between 1 and 1000", "Limit must be between
+    1 and 100" — the 400/valid=false path of ``validateSearchRequest``).
+    The default ``strict=False`` is a DOCUMENTED DEVIATION: values
+    saturate to the nearest bound instead — a DataFrame API has no
+    request/response cycle to 400 on, and clamping keeps batch callers
+    total. The bounds themselves are the reference's either way."""
+    page, limit = int(page), int(limit)
+    if strict:
+        if not 1 <= page <= 1000:
+            raise ValueError("Page must be between 1 and 1000")
+        if not 1 <= limit <= 100:
+            raise ValueError("Limit must be between 1 and 100")
+        return page, limit
+    return max(1, min(1000, page)), max(1, min(100, limit))
 
 
 def _meta_with_snippet(hits: DataFrame, docs: DataFrame, terms: list[str],
@@ -58,8 +69,8 @@ class _PaginatedSearch:
     CACHE_MAX = 256
 
     def search_page(self, query: str, page: int = 1, limit: int = 10,
-                    algorithm: str = "bm25") -> DataFrame:
-        page, limit = clamp_page_limit(page, limit)
+                    algorithm: str = "bm25", strict: bool = False) -> DataFrame:
+        page, limit = clamp_page_limit(page, limit, strict=strict)
         return self.search(query, k=page * limit, algorithm=algorithm).offset(
             (page - 1) * limit
         )
@@ -393,6 +404,11 @@ class IndexSearchEngine(_PaginatedSearch):
             {t for q in queries for t in scoring_terms(parser.parse(q))}
         )
         if all_toks:
+            # (measured: repartitioning the ENCODED rows before decode to
+            # widen the Arrow stage made BOTH cluster sizes slower on a
+            # 512-query replay — the exchange of compressed payload bytes
+            # + broken scan→decode pipelining cost more than the added
+            # width bought; the decode is not the batch path's bottleneck)
             trip = decode_postings_df(
                 self.reader.postings_for_terms(all_toks)
             ).localCheckpoint(eager=True)

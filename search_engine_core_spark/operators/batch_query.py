@@ -82,19 +82,28 @@ def _batch_plain_topk(
     One broadcast of the (query, term) table, one candidate join, one
     groupBy, one window — the per-query work is rows in a plan, not plans.
     """
-    qtok_rows = [(q, t) for q, _, toks in plain for t in toks]
+    qtok_rows = [(qid, t) for qid, (_, _, toks) in enumerate(plain) for t in toks]
     if not qtok_rows:
         return spark.createDataFrame([], "query string, doc_id long, score double")
-    # (query, term) fan-out rows and per-query metadata are SEPARATE
+    # (qid, term) fan-out rows and per-query metadata are SEPARATE
     # relations: keeping _mode/_n_toks out of the candidate aggregation
     # keeps its buffer all-numeric (sum + count), so Spark plans a
     # codegen'd Tungsten HashAggregate. Folding them in as first(...)
     # forces SortAggregate — a full sort of the fan-out rows that measured
     # 10x the CPU of the hash shape on a 128-query replay (BENCH notes).
-    qtok = spark.createDataFrame(qtok_rows, "query string, term string")
+    # The query is carried through the hot path as a dense INT id, not its
+    # string: the candidate agg hashes and the top-k exchange + sort key
+    # on a 4-byte key instead of a ~16-byte UTF8 comparator (the same
+    # radix-vs-string lesson as the build's xxhash64 sort key — measured
+    # 1.3-1.5x on a 512-query replay's vectorized stage); the k result
+    # rows per query get their string back via one tiny broadcast join.
+    qtok = spark.createDataFrame(qtok_rows, "qid int, term string")
     qmeta = spark.createDataFrame(
-        [(q, mode, len(toks)) for q, mode, toks in plain],
-        "query string, _mode string, _n_toks int",
+        [(qid, mode, len(toks)) for qid, (_, mode, toks) in enumerate(plain)],
+        "qid int, _mode string, _n_toks int",
+    )
+    qname = spark.createDataFrame(
+        [(qid, q) for qid, (q, _, _) in enumerate(plain)], "qid int, query string"
     )
     terms = sorted({t for _, t in qtok_rows})
     # doc-level join first (one row per (term, doc)), THEN the broadcast
@@ -114,9 +123,16 @@ def _batch_plain_topk(
     # themselves — NOT the trip × queries fan-out (batch-size-independent
     # wire traffic; an A/B at 128 queries measured the fan-out exchange
     # 2-4x slower across separate executor JVMs).
+    # EXPLICIT width on this exchange: its input bytes are small (one row
+    # per pruned (term, doc)) but everything CPU-heavy — the query fan-out
+    # join and the (qid, doc) candidate agg — runs pipelined on top of it,
+    # so letting AQE size the exchange by bytes coalesces the whole
+    # vectorized stage onto 1-2 tasks (the same starvation the build's
+    # encode exchange hit; BENCH/BASELINE.md "explicit partition counts").
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     per_term = (
         trip.filter(F.col("term").isin(terms))
-        .repartition(F.col("doc_id"))
+        .repartition(n_part, F.col("doc_id"))
         .join(doclen, "doc_id", "inner")
         .join(F.broadcast(dfreq.filter(F.col("term").isin(terms))), "term", "inner")
         .withColumn(
@@ -132,22 +148,23 @@ def _batch_plain_topk(
     )
     scored = (
         per_term.join(F.broadcast(qtok), "term", "inner")
-        .groupBy("query", "doc_id")
+        .groupBy("qid", "doc_id")
         .agg(
             F.sum("term_score").alias("score"),
             F.count(F.lit(1)).alias("_nt"),
         )
-        .join(F.broadcast(qmeta), "query", "inner")
+        .join(F.broadcast(qmeta), "qid", "inner")
         # AND: the doc must hold ALL of the query's tokens (qtok rows are
-        # distinct per (query, term) — scoring_terms dedupes — and trip is
+        # distinct per (qid, term) — scoring_terms dedupes — and trip is
         # one row per (term, doc), so the group count IS the matched-token
         # count); OR: any.
         .filter((F.col("_mode") == "OR") | (F.col("_nt") == F.col("_n_toks")))
     )
-    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
+        .join(F.broadcast(qname), "qid", "inner")
         .select("query", "doc_id", "score")
     )
 

@@ -1,0 +1,140 @@
+"""Offline ranking-evaluation metrics (operators/eval.py).
+
+Hand-computed oracle on a tiny graded example, edge cases (zero-result
+judged query, judgment-less query), and an end-to-end replay-log eval:
+search_many results judged against their own known top-k must score
+perfect MRR/MAP/nDCG — the identity any correct metric implementation
+satisfies.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_core_spark.operators.eval import rank_metrics, summarize_metrics
+
+
+def _by_query(df):
+    return {r["query"]: r.asDict() for r in df.collect()}
+
+
+class TestRankMetricsHandComputed:
+    def test_graded_example(self, spark):
+        # query a: ranked d1(rel 3), d2(rel 0), d3(rel 1); judged d9(rel 2)
+        # never retrieved. k=3.
+        results = spark.createDataFrame(
+            [("a", 1, 9.0), ("a", 2, 8.0), ("a", 3, 7.0)],
+            "query string, doc_id long, score double",
+        )
+        qrels = spark.createDataFrame(
+            [("a", 1, 3), ("a", 3, 1), ("a", 9, 2)],
+            "query string, doc_id long, rel int",
+        )
+        m = _by_query(rank_metrics(results, qrels, k=3))["a"]
+        assert (m["n_rel"], m["hits"]) == (3, 2)
+        assert m["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+        assert m["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+        assert m["rr_at_k"] == 1.0
+        # AP@3 = (P@1 + P@3) / min(n_rel, k) = (1 + 2/3) / 3
+        assert m["ap_at_k"] == pytest.approx((1 + 2 / 3) / 3, abs=1e-6)
+        dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+        idcg = (
+            (2**3 - 1) / math.log2(2)
+            + (2**2 - 1) / math.log2(3)
+            + (2**1 - 1) / math.log2(4)
+        )
+        assert m["dcg_at_k"] == pytest.approx(dcg, abs=1e-6)
+        assert m["idcg_at_k"] == pytest.approx(idcg, abs=1e-6)
+        assert m["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
+
+    def test_rank_cutoff_and_tiebreak(self, spark):
+        # relevant doc at rank k+1 does not count; score ties break by
+        # doc_id asc (the repo-wide deterministic ordering)
+        results = spark.createDataFrame(
+            [("a", 2, 5.0), ("a", 1, 5.0), ("a", 3, 4.0)],
+            "query string, doc_id long, score double",
+        )
+        qrels = spark.createDataFrame(
+            [("a", 3, 1)], "query string, doc_id long, rel int"
+        )
+        m = _by_query(rank_metrics(results, qrels, k=2))["a"]
+        assert m["hits"] == 0 and m["rr_at_k"] == 0.0
+        m = _by_query(rank_metrics(results, qrels, k=3))["a"]
+        assert m["hits"] == 1 and m["rr_at_k"] == pytest.approx(1 / 3)
+
+    def test_zero_result_judged_query_scores_zero(self, spark):
+        results = spark.createDataFrame(
+            [("a", 1, 1.0)], "query string, doc_id long, score double"
+        )
+        qrels = spark.createDataFrame(
+            [("a", 1, 1), ("b", 7, 2)], "query string, doc_id long, rel int"
+        )
+        rows = _by_query(rank_metrics(results, qrels, k=5))
+        assert set(rows) == {"a", "b"}  # b is present, not dropped
+        b = rows["b"]
+        assert (b["hits"], b["rr_at_k"], b["ap_at_k"], b["ndcg_at_k"]) == (
+            0,
+            0.0,
+            0.0,
+            0.0,
+        )
+
+    def test_judgmentless_query_metrics_null(self, spark):
+        results = spark.createDataFrame(
+            [("c", 1, 1.0)], "query string, doc_id long, score double"
+        )
+        qrels = spark.createDataFrame(
+            [], "query string, doc_id long, rel int"
+        )
+        c = _by_query(rank_metrics(results, qrels, k=5))["c"]
+        assert c["n_rel"] == 0 and c["precision_at_k"] == 0.0
+        assert c["recall_at_k"] is None
+        assert c["ap_at_k"] is None and c["ndcg_at_k"] is None
+
+    def test_summarize_null_skipping(self, spark):
+        results = spark.createDataFrame(
+            [("a", 1, 2.0), ("c", 1, 1.0)],
+            "query string, doc_id long, score double",
+        )
+        qrels = spark.createDataFrame(
+            [("a", 1, 1)], "query string, doc_id long, rel int"
+        )
+        s = summarize_metrics(rank_metrics(results, qrels, k=5)).collect()[0]
+        assert s["n_queries"] == 2
+        # c's NULL ndcg/ap excluded (TREC convention); a is perfect
+        assert s["map"] == 1.0 and s["mean_ndcg_at_k"] == 1.0
+        # but c's 0 precision and rr DO count
+        assert s["mrr"] == pytest.approx(0.5)
+        assert s["mean_precision_at_k"] == pytest.approx(0.1)
+
+
+class TestReplayLogEval:
+    def test_search_many_self_judged_is_perfect(self, spark, small_corpus):
+        """Replay-log eval identity: judging search_many's rankings against
+        their own top-k (graded by inverted rank) must score MRR = MAP =
+        nDCG = 1.0 — one batched plan end-to-end, no driver loop."""
+        from search_engine_core_spark.engine import SearchEngine
+
+        eng = SearchEngine(small_corpus)
+        log = ["spark OR merge", "table OR scan", "filter OR sort"]
+        res = eng.search_many(log, k=5)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        qrels = (
+            res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query", "doc_id", (F.lit(4) - F.col("rank")).alias("rel"))
+        )
+        per_q = rank_metrics(res, qrels, k=5)
+        s = summarize_metrics(per_q).collect()[0]
+        assert s["n_queries"] == len(log)
+        assert s["mrr"] == 1.0 and s["map"] == 1.0
+        assert s["mean_ndcg_at_k"] == 1.0  # results ARE the ideal ordering
+        assert s["mean_recall_at_k"] == 1.0
+        eng.unpersist()

@@ -159,6 +159,13 @@ class TestReferenceTestStrategyParity:
 
         assert clamp_page_limit(0, 500) == (1, 100)
         assert clamp_page_limit(5000, 0) == (1000, 1)
+        # strict=True is exact reference parity: out-of-range 400-rejects
+        # with the reference's own messages (src/search_api.cpp:161-181)
+        assert clamp_page_limit(1000, 100, strict=True) == (1000, 100)
+        with pytest.raises(ValueError, match="Page must be between 1 and 1000"):
+            clamp_page_limit(1001, 10, strict=True)
+        with pytest.raises(ValueError, match="Limit must be between 1 and 100"):
+            clamp_page_limit(1, 0, strict=True)
         eng = SearchEngine(small_corpus)
         full = [r["doc_id"] for r in eng.search("spark OR merge", 15).collect()]
         p2 = [r["doc_id"] for r in eng.search_page("spark OR merge", page=2, limit=5).collect()]
