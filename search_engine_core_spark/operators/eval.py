@@ -47,8 +47,14 @@ def rank_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame
     precision/rr.
     """
     res = results.select("query", "doc_id", "score")
-    qr = qrels.select(
-        "query", "doc_id", F.col("rel").cast("double").alias("rel")
+    # defensive dedupe: duplicate judgments for one (query, doc) would
+    # fan out the results join; max-rel is the usual TREC resolution
+    qr = (
+        qrels.select(
+            "query", "doc_id", F.col("rel").cast("double").alias("rel")
+        )
+        .groupBy("query", "doc_id")
+        .agg(F.max("rel").alias("rel"))
     )
 
     w_rank = Window.partitionBy("query").orderBy(
@@ -139,6 +145,40 @@ def rank_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame
             F.when(has_rel, F.col("dcg_at_k") / F.col("idcg_at_k")), 6
         ).alias("ndcg_at_k"),
     ).orderBy("query")
+
+
+def hard_negatives(results: DataFrame, qrels: DataFrame,
+                   n: int = 5, skip_top: int = 0) -> DataFrame:
+    """Mine hard negatives for ranker training: per query, the ``n``
+    HIGHEST-ranked retrieved docs with no positive judgment — the
+    near-miss examples contrastive training (DPR / cross-encoder
+    distillation) wants, far harder than random negatives. ``skip_top``
+    ignores the first ranks entirely (common practice: the very top
+    unjudged hits are often unlabeled POSITIVES, not negatives — skip
+    them rather than teach the ranker to demote them).
+
+    Returns (query, doc_id, rank, score) with rank from the full result
+    ordering. Same scale shape as :func:`rank_metrics`: windows over
+    per-query results, one join against qrels, nothing on the driver.
+    """
+    w_rank = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = results.select("query", "doc_id", "score").withColumn(
+        "rank", F.row_number().over(w_rank)
+    )
+    positives = qrels.filter(F.col("rel") > 0).select("query", "doc_id")
+    negs = (
+        ranked.filter(F.col("rank") > skip_top)
+        .join(positives, ["query", "doc_id"], "left_anti")
+    )
+    w_neg = Window.partitionBy("query").orderBy("rank")
+    return (
+        negs.withColumn("_nr", F.row_number().over(w_neg))
+        .filter(F.col("_nr") <= n)
+        .select("query", "doc_id", "rank", "score")
+        .orderBy("query", "rank")
+    )
 
 
 def summarize_metrics(per_query: DataFrame) -> DataFrame:

@@ -13,7 +13,11 @@ import math
 
 import pytest
 
-from search_engine_core_spark.operators.eval import rank_metrics, summarize_metrics
+from search_engine_core_spark.operators.eval import (
+    hard_negatives,
+    rank_metrics,
+    summarize_metrics,
+)
 
 
 def _by_query(df):
@@ -108,6 +112,30 @@ class TestRankMetricsHandComputed:
         # but c's 0 precision and rr DO count
         assert s["mrr"] == pytest.approx(0.5)
         assert s["mean_precision_at_k"] == pytest.approx(0.1)
+
+
+class TestHardNegatives:
+    def test_mines_top_unjudged_with_skip(self, spark):
+        # ranks: d1(9) d2(8) d3(7) d4(6) d5(5); positives: d1, d4
+        results = spark.createDataFrame(
+            [("a", i, 10.0 - i) for i in range(1, 6)],
+            "query string, doc_id long, score double",
+        )
+        qrels = spark.createDataFrame(
+            [("a", 1, 1), ("a", 4, 2), ("a", 9, 1)],
+            "query string, doc_id long, rel int",
+        )
+        negs = [
+            (r["doc_id"], r["rank"])
+            for r in hard_negatives(results, qrels, n=2).collect()
+        ]
+        assert negs == [(2, 2), (3, 3)]  # highest-ranked non-positives
+        # skip_top=2 treats ranks 1-2 as potentially-unlabeled positives
+        negs = [
+            (r["doc_id"], r["rank"])
+            for r in hard_negatives(results, qrels, n=2, skip_top=2).collect()
+        ]
+        assert negs == [(3, 3), (5, 5)]  # d4 at rank 4 is a positive
 
 
 class TestReplayLogEval:
