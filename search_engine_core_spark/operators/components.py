@@ -28,6 +28,11 @@ upgrade if a real corpus ever produces one, and ``max_iter`` makes the
 assumption explicit instead of silently looping. Each round eagerly
 localCheckpoints the label frame: iterative lineage otherwise grows the
 plan exponentially (the classic Spark iterative-algorithm trap).
+Convergence is detected by a scalar fixpoint invariant — labels only
+decrease, so an exact (decimal) sum of labels is strictly decreasing
+until the fixpoint; the sum rides an ``Observation`` on each round's
+eager checkpoint, so detection costs zero extra jobs and no
+old-vs-new label join.
 
 Determinism: the component id IS the smallest member id — no tie to
 break anywhere, any execution order converges to the same labeling.
@@ -35,7 +40,7 @@ break anywhere, any execution order converges to the same labeling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_groups", "canonical_docs"]
@@ -67,11 +72,28 @@ def connected_components(
     )
     # symmetric view once; each round joins labels against it
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (
+    def _checkpoint_with_sum(df: DataFrame):
+        # Fixpoint invariant, computed for FREE: labels only ever DECREASE
+        # element-wise, so sum(component) strictly decreases until
+        # convergence — equal sums on consecutive rounds ⟺ no label moved.
+        # The sum rides an Observation on the eager localCheckpoint job
+        # itself (metrics are accumulator-backed, so the checkpoint's own
+        # materialization populates them): ZERO extra jobs per round,
+        # replacing the old labels-vs-labels join + limit(1).count() probe
+        # — at a billion edges that was a full extra shuffle every round.
+        # decimal(38,0) keeps the sum exact (an int64 sum could wrap on a
+        # huge graph and alias two different labelings); empty graphs sum
+        # to NULL on every round and converge immediately.
+        obs = Observation()
+        ck = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return ck, obs.get["s"]
+
+    labels, prev_sum = _checkpoint_with_sum(
         sym.select("u")
         .distinct()
         .select(F.col("u").alias("id"), F.col("u").alias("component"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # candidate labels flowing across edges: v offers its current
@@ -80,24 +102,14 @@ def connected_components(
             sym.join(labels.withColumnRenamed("id", "v"), "v")
             .select(F.col("u").alias("id"), "component")
         )
-        new_labels = (
+        labels, cur_sum = _checkpoint_with_sum(
             labels.unionByName(offers)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
-        # rename both sides before the probe: new_labels derives from
-        # labels, so qualifying by frame would be an ambiguous self-join
-        changed = (
-            new_labels.select("id", F.col("component").alias("_new"))
-            .join(labels.select("id", F.col("component").alias("_old")), "id")
-            .filter(F.col("_new") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the pair graph has an unexpectedly long diameter; raise max_iter "
