@@ -527,35 +527,41 @@ class EmbeddingIndexBuilder:
         part_cols = meta["partitioned_by"]
         t0 = time.monotonic()
         assigned = self._assigned(new_embeddings, meta).localCheckpoint(eager=True)
-        n_new = assigned.count()
+        # ONE scalar job gets row count + distinct-id count (the duplicate
+        # guard) — previously two separate jobs (count, distinct().count())
+        # over the checkpointed batch.
+        stats = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("vec_id").alias("d"),
+        ).first()
+        n_new = stats["n"]
         if n_new == 0:
             return 0
         # duplicate ids inside ONE batch have no defined winner here (no
         # ordering column) and would double-write + corrupt n_vecs; the
         # text side resolves this with batch_id latest-wins — callers with
         # versioned batches must collapse to one row per id first
-        if assigned.select("vec_id").distinct().count() != n_new:
+        if stats["d"] != n_new:
             raise ValueError(
                 "upsert batch contains duplicate vec_ids — collapse to one "
                 "row per vec_id (latest version) before upserting"
             )
         ids = assigned.select("vec_id")
-        # old locations of the upserted ids: column-pruned scan of
-        # (vec_id + partition cols); vec_id sorting within leaves lets
-        # row-group stats prune most of it
-        old_locs = (
+        # old locations AND replaced-row count of the upserted ids in ONE
+        # column-pruned scan of (vec_id + partition cols) — vec_id sorting
+        # within leaves lets row-group stats prune most of it. (Previously
+        # two scans: a distinct-locations collect plus a separate count.)
+        old_parts = (
             self._vectors()
             .join(ids, "vec_id", "left_semi")
-            .select(*part_cols)
-            .distinct()
+            .groupBy(*part_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
         new_locs = assigned.select(*part_cols).distinct().collect()
-        before = self._part_dirs(old_locs, part_cols)
+        before = self._part_dirs(old_parts, part_cols)
         target = before | self._part_dirs(new_locs, part_cols)
-        n_replaced = (
-            self._vectors().join(ids, "vec_id", "left_semi").count() if before else 0
-        )
+        n_replaced = sum(r["c"] for r in old_parts)
 
         cond = None
         for vals in target:
@@ -597,10 +603,15 @@ class EmbeddingIndexBuilder:
             .select("vec_id", *part_cols)
             .localCheckpoint(eager=True)
         )
-        n = doomed.count()
+        # doomed count + affected locations in ONE job (bounded collect:
+        # one row per affected partition, never per doomed row)
+        doomed_parts = (
+            doomed.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        n = sum(r["c"] for r in doomed_parts)
         if n == 0:
             return 0
-        before = self._part_dirs(doomed.select(*part_cols).distinct().collect(), part_cols)
+        before = self._part_dirs(doomed_parts, part_cols)
         cond = None
         for vals in before:
             c = F.lit(True)
