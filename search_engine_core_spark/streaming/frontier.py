@@ -14,7 +14,7 @@ Also: failure classification + exponential backoff (T3/F22,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 # FailureClassifier.cpp permanent/temporary code sets (CrawlConfig.h:37-48)
@@ -82,29 +82,41 @@ def bfs_frontier(
     import time as _time
 
     t0 = _time.monotonic()
-    visited = seeds.select(F.col("url"), F.lit(0).alias("depth")).distinct().localCheckpoint()
-    # track the visited tally incrementally off each wave's own count —
-    # no extra per-depth count job over the growing visited set
-    n_visited = visited.count()
+    # each wave's count rides an Observation on its own eager checkpoint
+    # (zero extra jobs); the visited tally is tracked incrementally —
+    # never a count job over the growing visited set
+    obs0 = Observation()
+    visited = (
+        seeds.select(F.col("url"), F.lit(0).alias("depth"))
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_visited = obs0.get["n"]
     frontier = visited
     for depth in range(1, max_depth + 1):
         if max_pages is not None and n_visited >= max_pages:
             break  # T8 stop condition
         if max_duration_s is not None and _time.monotonic() - t0 >= max_duration_s:
             break  # T7 session-duration stop condition
+        obs = Observation()
         nxt = (
             frontier.join(edges, frontier.url == edges.src)
             .select(F.col("dst").alias("url"))
             .distinct()
             .join(visited.select("url"), "url", "left_anti")
             .withColumn("depth", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
         )
-        nxt = nxt.localCheckpoint()
-        n_new = nxt.count()
+        n_new = obs.get["n"]
         if n_new == 0:
             break
         n_visited += n_new
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # union of per-wave CHECKPOINTED frames: lineage stays <= max_depth
+        # unions deep, and the old re-checkpoint of the whole visited set
+        # (an O(|visited|) rewrite job EVERY wave) is gone
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
