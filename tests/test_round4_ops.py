@@ -170,6 +170,11 @@ class TestReferenceTestStrategyParity:
         full = [r["doc_id"] for r in eng.search("spark OR merge", 15).collect()]
         p2 = [r["doc_id"] for r in eng.search_page("spark OR merge", page=2, limit=5).collect()]
         assert p2 == full[5:10]
+        # strict threads through the engine-level API, not just the helper
+        with pytest.raises(ValueError, match="Page must be between 1 and 1000"):
+            eng.search_page("spark", page=1001, limit=10, strict=True)
+        with pytest.raises(ValueError, match="Limit must be between 1 and 100"):
+            eng.search_page("spark", page=1, limit=101, strict=True)
         eng.unpersist()
 
 
