@@ -21,11 +21,11 @@ that is small by construction: near-dup clusters are dense blobs (every
 member shares a band/bucket with the cluster minimum under the
 ``max_bucket`` cap, making them diameter ≤ 2 stars), so propagation
 converges in a handful of rounds. The adversarial worst case (a long
-chain of pairwise-similar docs) costs O(chain length) rounds here; the
-O(log² n)-round alternating-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC 2014 — public) is the known
-upgrade if a real corpus ever produces one, and ``max_iter`` makes the
-assumption explicit instead of silently looping. Each round eagerly
+chain of pairwise-similar docs) costs O(chain length) rounds here;
+``connected_components_star`` implements the O(log² n)-round
+alternating-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014 — public) for exactly that case, and
+``max_iter`` makes the assumption explicit instead of silently looping. Each round eagerly
 localCheckpoints the label frame: iterative lineage otherwise grows the
 plan exponentially (the classic Spark iterative-algorithm trap).
 Convergence is detected by a scalar fixpoint invariant — labels only
@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_groups", "canonical_docs"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_groups",
+    "canonical_docs",
+]
 
 
 def connected_components(
@@ -113,8 +118,148 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the pair graph has an unexpectedly long diameter; raise max_iter "
-        "or switch to an alternating-star implementation (module docstring)"
+        "or use connected_components_star (O(log² n) rounds regardless "
+        "of diameter)"
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component) via the alternating large-star / small-star
+    algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    "Connected Components in MapReduce and Beyond", SoCC 2014, public):
+    the long-diameter companion to :func:`connected_components`.
+    Min-label propagation needs diameter-many rounds — a 10k-link chain
+    of pairwise-similar docs is 10k shuffles; alternating-star converges
+    in O(log² n) rounds regardless of diameter (empirically <~15 even on
+    huge graphs). Each round costs more shuffles than a propagation
+    round, so the dense-blob graphs LSH actually emits should keep the
+    default; this is the escape hatch ``connected_components`` raising
+    at ``max_iter`` points to.
+
+    The state is an edge set in canonical child>parent orientation, never
+    a label frame:
+
+    * large-star: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood;
+    * small-star: every node connects its smaller neighbors (and itself)
+      to that minimum.
+
+    Both are a groupBy-min + an equi-join — no adjacency lists collect,
+    hot (high-degree) nodes are just hot join keys handled by AQE skew
+    splitting. Convergence = the (count, sum(child), sum(parent)) triple
+    of the edge set repeating — exact decimals, riding an Observation on
+    each round's eager checkpoint (zero probe jobs). Because the triple
+    is a fingerprint rather than a proof, the final labeling is then
+    VALIDATED with one free-standing min-propagation round over the
+    original edges (stars only ever connect within a true component, so
+    a non-fixpoint there is impossible unless the fingerprint aliased —
+    in which case this raises instead of returning a wrong labeling).
+
+    Returns the same schema and the same labels as
+    :func:`connected_components` (component = smallest member id).
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    orig_sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+    def _fingerprint_checkpoint(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["su"], m["sv"])
+
+    prev_fp = None
+    for _ in range(max_rounds):
+        # ---- large-star: for each node, larger neighbors -> closed min --
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(F.min("v").alias("_mnv")).select(
+            "u", F.least("u", "_mnv").alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: smaller neighbors (and self) -> their min -----
+        # `large` is already child>parent oriented, so grouping by the
+        # child IS the "messages to the larger endpoint" step
+        mn_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn_s, "u")
+            .select(F.col("v").alias("node"), "m")
+            .filter(F.col("node") != F.col("m"))
+            .unionByName(mn_s.select(F.col("u").alias("node"), "m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        edges, fp = _fingerprint_checkpoint(small)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — not expected for any graph (O(log² n) bound); check "
+            "the input for pathological id distributions"
+        )
+    # stars -> labels: children point at their parent, parents are roots
+    labels = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+    # validation round (see docstring): one min-propagation step over the
+    # ORIGINAL edges must be a fixpoint of this labeling
+    offers = (
+        orig_sym.join(labels.withColumnRenamed("id", "v"), "v")
+        .select(F.col("u").alias("id"), "component")
+    )
+    settled = (
+        labels.unionByName(offers)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    check = (
+        settled.join(
+            labels.withColumnRenamed("component", "_claimed"), "id"
+        )
+        .filter(F.col("component") != F.col("_claimed"))
+        .limit(1)
+        .count()
+    )
+    if check:
+        raise RuntimeError(
+            "connected_components_star convergence fingerprint aliased — "
+            "labeling failed post-validation (this should be unreachable)"
+        )
+    return labels
 
 
 def dedup_groups(
@@ -122,12 +267,21 @@ def dedup_groups(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component, is_canonical) for every id in the pair graph:
     one deterministic survivor per duplicate cluster — the smallest id,
     the same keep-the-minimum rule as ``minhash_lsh_pairs``'s bucket cap
-    and ``exact_duplicates``."""
-    cc = connected_components(pairs, id_a, id_b, max_iter)
+    and ``exact_duplicates``. ``algorithm``: ``"label"`` (min-label
+    propagation, diameter-many cheap rounds — right for LSH blob graphs)
+    or ``"star"`` (alternating-star, O(log² n) pricier rounds — right
+    for long-diameter graphs)."""
+    if algorithm == "star":
+        cc = connected_components_star(pairs, id_a, id_b)
+    elif algorithm == "label":
+        cc = connected_components(pairs, id_a, id_b, max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: 'label' or 'star'")
     return cc.select(
         "id", "component", (F.col("id") == F.col("component")).alias("is_canonical")
     )
@@ -140,13 +294,14 @@ def canonical_docs(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """The deduplicated corpus: ``docs`` minus every non-canonical member
     of every near-dup cluster (docs in no pair are trivially canonical).
     One anti-join against the (small) set of doomed ids — the pair graph
     only ever contains the near-dup docs, never the whole corpus."""
     doomed = (
-        dedup_groups(pairs, id_a, id_b, max_iter)
+        dedup_groups(pairs, id_a, id_b, max_iter, algorithm)
         .filter(~F.col("is_canonical"))
         .select(F.col("id").alias(id_col))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from search_engine_core_spark.operators.components import (
     canonical_docs,
     connected_components,
+    connected_components_star,
     dedup_groups,
 )
 
@@ -117,6 +118,60 @@ def test_canonical_docs_end_to_end_minhash(spark):
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert 40 in ids and 1 in ids
     assert ids.issubset({1, 40})  # 2 and 3 collapsed into 1's cluster
+
+
+def star_components(spark, edges: list[tuple[int, int]], **kw) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components_star(df, **kw).collect()
+    }
+
+
+class TestAlternatingStar:
+    """Kiveris et al. alternating-star vs the same union-find twin."""
+
+    def test_cliques_star_chain_topologies(self, spark):
+        edges = [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13),
+                 (20, 21), (30, 31), (31, 32), (32, 33)]
+        assert star_components(spark, edges) == uf_components(edges)
+
+    def test_tolerates_self_loops_duplicates_reversed(self, spark):
+        edges = [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)]
+        assert star_components(spark, edges) == {1: 1, 2: 1}
+
+    def test_empty_pairs(self, spark):
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components_star(df).count() == 0
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_random_graphs_match_union_find(self, spark, seed):
+        rng = np.random.RandomState(seed)
+        n, m = 60, 45
+        edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(m)]
+        edges = [(u, v) for u, v in edges if u != v]
+        assert star_components(spark, edges) == uf_components(edges)
+
+    def test_long_chain_beyond_label_propagation_budget(self, spark):
+        """The motivating case: a 60-node path has diameter 59 — min-label
+        with max_iter=25 refuses it, alternating-star labels it in
+        O(log² n) rounds. Shuffled ids so the chain isn't id-sorted."""
+        rng = np.random.RandomState(7)
+        ids = rng.permutation(60).tolist()
+        edges = [(int(ids[i]), int(ids[i + 1])) for i in range(59)]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=25)
+        got = star_components(spark, edges)
+        assert got == uf_components(edges)
+        assert set(got.values()) == {0}
+
+    def test_dedup_groups_algorithm_routing(self, spark):
+        df = spark.createDataFrame([(3, 7), (7, 9)], "doc_a long, doc_b long")
+        rows = {r["id"]: r for r in dedup_groups(df, algorithm="star").collect()}
+        assert rows[3]["is_canonical"] and rows[9]["component"] == 3
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            dedup_groups(df, algorithm="nope")
 
 
 def test_transitive_closure_beyond_emitted_pairs(spark):
