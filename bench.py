@@ -336,6 +336,15 @@ def main() -> None:
 
     timings["dedup_cc"] = round(_timed(_dedup_cc), 3)
 
+    # same pipeline through the alternating-star resolver (the
+    # long-diameter escape hatch) — same survivors by construction,
+    # costlier rounds, bounded round COUNT
+    def _dedup_cc_star():
+        pairs = minhash_lsh_pairs(docs_tbl, n_perm=8, max_bucket=64)
+        canonical_docs(docs_tbl, pairs, algorithm="star").count()
+
+    timings["dedup_cc_star"] = round(_timed(_dedup_cc_star), 3)
+
     total = time.monotonic() - t_suite
     shutil.rmtree(work, ignore_errors=True)
     print(
