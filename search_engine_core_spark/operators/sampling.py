@@ -39,6 +39,7 @@ __all__ = [
     "resample_to_mix",
     "contaminated_ids",
     "decontaminate",
+    "pack_sequences",
 ]
 
 
@@ -182,3 +183,58 @@ def decontaminate(
     return train.join(
         contaminated_ids(train, eval_df, n, text_col, id_col), id_col, "left_anti"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign every doc a
+    (pack_id, pack_offset) so that concatenating docs in (pack_id,
+    pack_offset) order and cutting every ``budget`` tokens yields the
+    training sequences. This is the standard pretraining packing
+    (documents may straddle a chunk boundary — the ``crosses_boundary``
+    column flags those for callers that must not split docs).
+
+    Distributed shape: docs are sharded by hash (shards are independent
+    token streams, so packing parallelizes with NO coordination — at
+    100 TB every shard is a separate cumsum), deterministically ordered
+    within a shard by (hash, id), and offset by a running token cumsum —
+    ONE window per shard, one shuffle total. Output adds:
+
+    * ``pack_shard`` — which independent stream the doc belongs to;
+    * ``pack_id`` — chunk index within the shard (floor(start/budget));
+    * ``pack_offset`` — the doc's token offset within the shard stream;
+    * ``crosses_boundary`` — true when the doc straddles a chunk cut.
+
+    Deterministic end-to-end: same (ids, token counts, seed, shards) =
+    same packing on any cluster size.
+    """
+    if budget <= 0:
+        raise ValueError("pack_sequences budget must be positive")
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(n_shards))
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(hash_fraction(id_col, seed + 1), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("long")
+    out = (
+        df.withColumn("pack_shard", shard)
+        .withColumn("_end", F.sum(tok).over(w))
+        .withColumn("pack_offset", F.col("_end") - tok)
+        .withColumn("pack_id", F.floor(F.col("pack_offset") / F.lit(int(budget))))
+        .withColumn(
+            "crosses_boundary",
+            F.floor((F.col("_end") - F.lit(1)) / F.lit(int(budget)))
+            > F.col("pack_id"),
+        )
+        .drop("_end")
+    )
+    return out

@@ -18,6 +18,7 @@ from search_engine_core_spark.operators.sampling import (
     contaminated_ids,
     decontaminate,
     hash_split,
+    pack_sequences,
     resample_to_mix,
 )
 
@@ -143,3 +144,47 @@ class TestDecontaminate:
         )
         ev = spark.createDataFrame([(9, "a1 b2")], "doc_id long, text string")
         assert contaminated_ids(train, ev, n=3).count() == 0
+
+
+class TestPackSequences:
+    def test_single_shard_cumsum_semantics(self, spark):
+        """Pure-Python twin: replay the same (hash order within one
+        shard) stream, cut every `budget` tokens, compare every column."""
+        df = spark.createDataFrame(
+            [(i, 3 + (i % 5)) for i in range(40)], "doc_id long, n_tokens int"
+        )
+        out = pack_sequences(df, budget=10, n_shards=1, seed=2)
+        rows = sorted(out.collect(), key=lambda r: r["pack_offset"])
+        offset = 0
+        for r in rows:
+            assert r["pack_shard"] == 0
+            assert r["pack_offset"] == offset
+            assert r["pack_id"] == offset // 10
+            end = offset + r["n_tokens"]
+            assert r["crosses_boundary"] == ((end - 1) // 10 > offset // 10)
+            offset = end
+        # every chunk except the last holds exactly `budget` tokens when
+        # docs are split at cuts: total offset span covers all tokens
+        assert offset == sum(3 + (i % 5) for i in range(40))
+
+    def test_shards_are_independent_streams(self, spark):
+        df = spark.createDataFrame(
+            [(i, 4) for i in range(200)], "doc_id long, n_tokens int"
+        )
+        out = pack_sequences(df, budget=16, n_shards=8, seed=0)
+        for shard_rows in out.groupBy("pack_shard").agg(
+            F.collect_list(F.struct("pack_offset", "n_tokens")).alias("s")
+        ).collect():
+            stream = sorted((r["pack_offset"], r["n_tokens"]) for r in shard_rows["s"])
+            offset = 0
+            for off, n in stream:
+                assert off == offset  # contiguous stream per shard
+                offset += n
+
+    def test_deterministic_and_validates_budget(self, spark):
+        df = spark.createDataFrame([(1, 5), (2, 7)], "doc_id long, n_tokens int")
+        a = sorted(pack_sequences(df, 8).collect())
+        b = sorted(pack_sequences(df, 8).collect())
+        assert a == b
+        with pytest.raises(ValueError):
+            pack_sequences(df, 0)
