@@ -1,5 +1,23 @@
 """Scalar / vectorized functions: tokenizer, scoring math, text utilities."""
 
+from search_engine_core_spark.functions.c4 import (
+    c4_clean_lines,
+    c4_doc_pass,
+    c4_filter,
+    sentence_split,
+)
+from search_engine_core_spark.functions.gopher import (
+    gopher_filter,
+    gopher_quality_pass,
+    gopher_quality_signals,
+    gopher_repetition_pass,
+    gopher_repetition_signals,
+)
+from search_engine_core_spark.functions.pii import (
+    pii_counts,
+    redact_pii,
+    redact_pii_df,
+)
 from search_engine_core_spark.functions.tokenizer import (
     TOKEN_SPLIT_RE,
     tokenize_expr,
@@ -9,6 +27,18 @@ from search_engine_core_spark.functions.tokenizer import (
 
 __all__ = [
     "TOKEN_SPLIT_RE",
+    "c4_clean_lines",
+    "c4_doc_pass",
+    "c4_filter",
+    "gopher_filter",
+    "gopher_quality_pass",
+    "gopher_quality_signals",
+    "gopher_repetition_pass",
+    "gopher_repetition_signals",
+    "pii_counts",
+    "redact_pii",
+    "redact_pii_df",
+    "sentence_split",
     "tokenize_expr",
     "tokenize_pandas_udf",
     "tokenize_py",

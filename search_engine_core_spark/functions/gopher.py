@@ -1,0 +1,369 @@
+"""Gopher-rule document quality + repetition filters.
+
+The standard web-corpus filtering rules from Rae et al. 2021, "Scaling
+Language Models: Methods, Analysis & Insights from Training Gopher"
+(arXiv:2112.11446, Appendix A — the MassiveWeb quality/repetition
+heuristics), as publicly reimplemented in HuggingFace DataTrove and
+NVIDIA NeMo Curator. Like ``operators/sampling.py`` and
+``operators/components.py`` this is training-data-pipeline surface the
+brief adds beyond reference parity (the reference's own quality signal is
+the single min(1, chars/10k) score, ``src/storage/ContentStorage.cpp:
+200-204`` — already ``text_quality.content_quality``).
+
+Scale shape: every metric here is a PURE per-document Catalyst column
+expression (split / array_sort / array_distinct / transform / aggregate /
+zip-free adjacency scans) — no shuffle, no UDF, no Python in the hot
+path, so at 100 TB the whole filter runs map-side inside the parquet
+scan stage and composes with whole-stage codegen. N-gram statistics
+never materialize a per-document n-gram *string array* into the
+aggregation state: each n-gram collapses to a ``struct(xxhash64, length)``
+immediately, so the per-row working set is 12 bytes per n-gram instead
+of a near-copy of the document per n (hash collisions would only
+*under*-count duplicate chars by one n-gram's length; at 64 bits the
+per-document collision odds are negligible and the behavior is
+documented here rather than silent).
+
+Documented deviations from the paper/DataTrove (both are driven by
+determinism — a distributed engine cannot depend on Python dict
+insertion order):
+
+* top-n-gram selection (n=2..4): the paper takes "the most
+  frequently-occurring n-gram"; ``Counter.most_common`` breaks count
+  ties by first-seen position, which is order-dependent. Here ties on
+  count break by larger character coverage (count x length), then by
+  smaller hash — a pure function of the document text.
+* duplicate-n-gram character fraction (n=5..10): DataTrove counts
+  non-overlapping repeats via a sequential skip scan; this implementation
+  counts every occurrence beyond the first (overlap-permissive), an
+  upper bound of the skip-scan number. Thresholds keep the paper's
+  values; callers comparing against DataTrove output should expect this
+  fraction to read slightly higher on pathologically self-repeating
+  docs.
+* line/paragraph duplicate fractions use DataTrove's
+  occurrences-beyond-first counting exactly (elements and characters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "GOPHER_REQUIRED_STOPWORDS",
+    "GOPHER_BULLETS",
+    "gopher_quality_signals",
+    "gopher_quality_pass",
+    "gopher_repetition_signals",
+    "gopher_repetition_pass",
+    "gopher_filter",
+]
+
+# Appendix A: "contains at least two of the following English words"
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Bullet glyphs checked at line starts (DataTrove's set plus ASCII list
+# markers).
+GOPHER_BULLETS = ["•", "‣", "◦", "·", "-", "*"]
+
+_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _text(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(c, F.lit(""))
+
+
+def _strip(c: Column) -> Column:
+    """Full-whitespace strip (Python ``str.strip()`` semantics) —
+    ``F.trim`` only removes ASCII spaces, not newlines/tabs."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _words(text: Column) -> Column:
+    """Whitespace words (Python ``str.split()`` / istringstream
+    semantics, same as ``text_quality.word_count``): empty or
+    whitespace-only text -> empty array."""
+    return F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+
+
+def _lines(text: Column, para: bool = False) -> Column:
+    """Lines (split on runs of newlines) or paragraphs (split on blank
+    lines), stripped, empties dropped — DataTrove's splitters."""
+    pat = r"\n\s*\n" if para else r"\n+"
+    parts = F.split(_strip(text), pat)
+    stripped = F.transform(parts, lambda p: _strip(p))
+    return F.filter(stripped, lambda p: F.length(p) > 0)
+
+
+def _safe_ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _substr_count(text: Column, sub: str) -> Column:
+    """Occurrences of a literal substring, expression-side."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit(""))))
+        / F.lit(len(sub))
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Quality rules (Appendix A "quality filtering")
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_signals(text: Column | str) -> Column:
+    """struct of the raw Appendix-A quality metrics for one document:
+    ``n_words``, ``mean_word_len``, ``hash_word_ratio``,
+    ``ellipsis_word_ratio``, ``bullet_line_frac``, ``ellipsis_line_frac``,
+    ``alpha_word_frac``, ``n_required_stopwords``."""
+    t = _text(text)
+    words = _words(t)
+    n_words = F.size(words)
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    lines = _lines(t)
+    n_lines = F.size(lines)
+
+    # NB: higher-order F.filter dispatches on the lambda's arity, so the
+    # predicate must take exactly one parameter (no default-arg closures).
+    def _starts_with_bullet(l: Column) -> Column:
+        cond = F.lit(False)
+        for b in GOPHER_BULLETS:
+            cond = cond | F.startswith(l, F.lit(b))
+        return cond
+
+    n_bullet = F.size(F.filter(lines, _starts_with_bullet))
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…")))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    words_lc = F.transform(words, lambda w: F.lower(w))
+    n_stop = None
+    for s in GOPHER_REQUIRED_STOPWORDS:
+        hit = F.array_contains(words_lc, s).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+
+    n_ellipsis = _substr_count(t, "...") + _substr_count(t, "…")
+    return F.struct(
+        n_words.alias("n_words"),
+        _safe_ratio(total_word_chars, n_words).alias("mean_word_len"),
+        _safe_ratio(_substr_count(t, "#"), n_words).alias("hash_word_ratio"),
+        _safe_ratio(n_ellipsis, n_words).alias("ellipsis_word_ratio"),
+        _safe_ratio(n_bullet, n_lines).alias("bullet_line_frac"),
+        _safe_ratio(n_ellipsis_end, n_lines).alias("ellipsis_line_frac"),
+        _safe_ratio(n_alpha, n_words).alias("alpha_word_frac"),
+        n_stop.alias("n_required_stopwords"),
+    )
+
+
+def gopher_quality_pass(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> Column:
+    """Boolean: the document survives every Appendix-A quality rule at
+    the paper's thresholds (all overridable)."""
+    s = gopher_quality_signals(text)
+    return (
+        s["n_words"].between(min_words, max_words)
+        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (s["hash_word_ratio"] <= max_symbol_word_ratio)
+        & (s["ellipsis_word_ratio"] <= max_symbol_word_ratio)
+        & (s["bullet_line_frac"] <= max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (s["alpha_word_frac"] >= min_alpha_word_frac)
+        & (s["n_required_stopwords"] >= min_required_stopwords)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition rules (Appendix A "repetition removal")
+# ---------------------------------------------------------------------------
+
+
+def _hl_pairs(elems: Column) -> Column:
+    """array<struct(h,l)> — each element collapsed to (xxhash64, length).
+    All duplicate accounting below runs on this 12-byte shape, never on
+    the strings themselves (see module docstring)."""
+    return F.transform(
+        elems, lambda e: F.struct(F.xxhash64(e).alias("h"), F.length(e).alias("l"))
+    )
+
+
+def _dup_chars_scan(sorted_pairs: Column) -> Column:
+    """Sum of lengths of every beyond-first occurrence in a SORTED (h,l)
+    array — one accumulator pass carrying the previous hash. (An earlier
+    version indexed the sorted array with ``element_at(s, i)`` inside a
+    transform; Catalyst inlines ``s`` at every reference, so each element
+    re-sorted the array — quadratic per doc and measured at ~0.4 s/doc
+    on 300-word docs. The single-pass aggregate is O(n).)"""
+    zero = F.struct(
+        F.lit(None).cast("bigint").alias("prev"), F.lit(0).cast("long").alias("tot")
+    )
+
+    def merge(acc, x):
+        hit = F.when(x["h"] == acc["prev"], x["l"].cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return F.struct(x["h"].alias("prev"), (acc["tot"] + hit).alias("tot"))
+
+    return F.aggregate(sorted_pairs, zero, merge, lambda acc: acc["tot"])
+
+
+def _dup_stats(elems: Column) -> tuple[Column, Column, Column]:
+    """(n, dup_n, dup_chars) with DataTrove counting: an element's 2nd,
+    3rd, ... occurrences are the duplicates; dup_chars sums their
+    lengths. Sort-adjacency idiom: after array_sort, every beyond-first
+    occurrence equals its predecessor — O(n log n) per doc, no shuffle."""
+    pairs = _hl_pairs(elems)
+    n = F.size(pairs)
+    dup_n = n - F.size(F.array_distinct(F.transform(pairs, lambda p: p["h"])))
+    dup_chars = _dup_chars_scan(F.array_sort(pairs))
+    return n, dup_n, dup_chars
+
+
+def _ngram_pairs(words: Column, n: int) -> Column:
+    """(hash, char-length) structs of the space-joined word n-grams."""
+    cnt = F.size(words) - F.lit(n - 1)
+    grams = F.when(cnt >= 1, F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return _hl_pairs(grams)
+
+
+def _top_ngram_chars(words: Column, n: int) -> Column:
+    """Character coverage (count x length) of the most frequent n-gram —
+    a single aggregate scan over the hash-sorted n-gram structs tracking
+    the best run; ties on count break by coverage then smaller hash
+    (deterministic, see module docstring)."""
+    s = F.array_sort(_ngram_pairs(words, n))
+    zero = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_chars"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x["h"] == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        cand = run * x["l"].cast("long")
+        better = (run > acc["best_cnt"]) | (
+            (run == acc["best_cnt"]) & (cand > acc["best_chars"])
+        )
+        return F.struct(
+            x["h"].alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, cand).otherwise(acc["best_chars"]).alias("best_chars"),
+        )
+
+    return F.aggregate(s, zero, merge, lambda acc: acc["best_chars"])
+
+
+def _dup_ngram_chars(words: Column, n: int) -> Column:
+    """Characters in n-gram occurrences beyond the first (overlap-
+    permissive — documented upper bound of DataTrove's skip scan)."""
+    return _dup_chars_scan(F.array_sort(_ngram_pairs(words, n)))
+
+
+def gopher_repetition_signals(text: Column | str) -> Column:
+    """struct of the raw repetition metrics: ``dup_line_frac``,
+    ``dup_line_char_frac``, ``dup_para_frac``, ``dup_para_char_frac``,
+    ``top_{2,3,4}gram_char_frac``, ``dup_{5..10}gram_char_frac``.
+    Character fractions are over ``length(text)`` (DataTrove)."""
+    t = _text(text)
+    total = F.length(t)
+    words = _words(t)
+
+    ln, ldup, lchars = _dup_stats(_lines(t))
+    pn, pdup, pchars = _dup_stats(_lines(t, para=True))
+    fields = [
+        _safe_ratio(ldup, ln).alias("dup_line_frac"),
+        _safe_ratio(lchars, total).alias("dup_line_char_frac"),
+        _safe_ratio(pdup, pn).alias("dup_para_frac"),
+        _safe_ratio(pchars, total).alias("dup_para_char_frac"),
+    ]
+    for n in _TOP_NGRAM_THRESHOLDS:
+        fields.append(
+            _safe_ratio(_top_ngram_chars(words, n), total).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in _DUP_NGRAM_THRESHOLDS:
+        fields.append(
+            _safe_ratio(_dup_ngram_chars(words, n), total).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    return F.struct(*fields)
+
+
+def gopher_repetition_pass(
+    text: Column | str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_ngram_thresholds: dict[int, float] | None = None,
+    dup_ngram_thresholds: dict[int, float] | None = None,
+) -> Column:
+    """Boolean: the document survives every repetition rule at the
+    paper's thresholds (all overridable)."""
+    tops = _TOP_NGRAM_THRESHOLDS if top_ngram_thresholds is None else top_ngram_thresholds
+    dups = _DUP_NGRAM_THRESHOLDS if dup_ngram_thresholds is None else dup_ngram_thresholds
+    s = gopher_repetition_signals(text)
+    cond = (
+        (s["dup_line_frac"] <= max_dup_line_frac)
+        & (s["dup_para_frac"] <= max_dup_para_frac)
+        & (s["dup_line_char_frac"] <= max_dup_line_char_frac)
+        & (s["dup_para_char_frac"] <= max_dup_para_char_frac)
+    )
+    for n, th in tops.items():
+        cond = cond & (s[f"top_{n}gram_char_frac"] <= th)
+    for n, th in dups.items():
+        cond = cond & (s[f"dup_{n}gram_char_frac"] <= th)
+    return cond
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    quality: bool = True,
+    repetition: bool = True,
+    **thresholds,
+) -> DataFrame:
+    """The corpus minus every document failing the selected Gopher rule
+    groups — one map-side filter, no shuffle. Threshold kwargs are
+    routed to :func:`gopher_quality_pass` / :func:`gopher_repetition_pass`
+    by parameter name."""
+    import inspect
+
+    q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
+    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text"}
+    unknown = set(thresholds) - q_names - r_names
+    if unknown:
+        raise TypeError(f"gopher_filter: unknown thresholds {sorted(unknown)}")
+    cond = F.lit(True)
+    if quality:
+        cond = cond & gopher_quality_pass(
+            text_col, **{k: v for k, v in thresholds.items() if k in q_names}
+        )
+    if repetition:
+        cond = cond & gopher_repetition_pass(
+            text_col, **{k: v for k, v in thresholds.items() if k in r_names}
+        )
+    return df.filter(cond)
