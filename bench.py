@@ -357,8 +357,11 @@ def main() -> None:
     # would trivially empty it — synthesize a period every 8 words (pure
     # column expr, priced with the pipeline) and loosen the stopword gate
     # (the synthetic vocab carries only "the" from the required set).
+    # repartition first: the sf table is ONE parquet row-group (one input
+    # split -> one task for the whole otherwise-map-side pipeline); at
+    # real scale the scan has thousands of splits, so model that here.
     def _curation():
-        sentenced = docs_tbl.withColumn(
+        sentenced = docs_tbl.repartition(cores).withColumn(
             "text",
             F.concat(
                 F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. "), F.lit(".")

@@ -10,18 +10,28 @@ brief adds beyond reference parity (the reference's own quality signal is
 the single min(1, chars/10k) score, ``src/storage/ContentStorage.cpp:
 200-204`` — already ``text_quality.content_quality``).
 
-Scale shape: every metric here is a PURE per-document Catalyst column
-expression (split / array_sort / array_distinct / transform / aggregate /
-zip-free adjacency scans) — no shuffle, no UDF, no Python in the hot
-path, so at 100 TB the whole filter runs map-side inside the parquet
-scan stage and composes with whole-stage codegen. N-gram statistics
+Scale shape: every metric is computable as a PURE per-document Catalyst
+column expression (split / array_sort / array_distinct / transform /
+aggregate) — no shuffle ever, map-side inside the parquet scan stage.
+BUT the repetition metrics lean on higher-order array aggregates with
+struct accumulators, which Catalyst does NOT whole-stage-codegen: they
+run on the interpreted expression evaluator, measured at ~8 ms/doc-core
+on ~50-word docs (131.2 s for 500k docs on 32 cores). The same metrics
+as an Arrow-batched pandas UDF measure 6.6 s on the identical input —
+**20x faster** — so ``impl="pandas"`` is the default for the repetition
+side; ``impl="expr"`` keeps the all-JVM shuffle-free twin (identical
+output, pinned in tests) for plans that must stay Python-free. The
+QUALITY metrics have no aggregate-heavy shape (6.7 s expr at 500k) and
+stay pure-expression. Both impls are one map stage — the choice is a
+constant factor, not a scale shape. The expr path's n-gram statistics
 never materialize a per-document n-gram *string array* into the
 aggregation state: each n-gram collapses to a ``struct(xxhash64, length)``
 immediately, so the per-row working set is 12 bytes per n-gram instead
 of a near-copy of the document per n (hash collisions would only
 *under*-count duplicate chars by one n-gram's length; at 64 bits the
 per-document collision odds are negligible and the behavior is
-documented here rather than silent).
+documented here rather than silent; the pandas impl compares raw
+strings — collision-free).
 
 Documented deviations from the paper/DataTrove (both are driven by
 determinism — a distributed engine cannot depend on Python dict
@@ -45,8 +55,13 @@ insertion order):
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "GOPHER_REQUIRED_STOPWORDS",
@@ -280,11 +295,95 @@ def _dup_ngram_chars(words: Column, n: int) -> Column:
     return _dup_chars_scan(F.array_sort(_ngram_pairs(words, n)))
 
 
-def gopher_repetition_signals(text: Column | str) -> Column:
+# Output field order shared by both impls (parity tests compare structs).
+_REP_FIELDS = (
+    ["dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac"]
+    + [f"top_{n}gram_char_frac" for n in _TOP_NGRAM_THRESHOLDS]
+    + [f"dup_{n}gram_char_frac" for n in _DUP_NGRAM_THRESHOLDS]
+)
+_REP_SCHEMA = T.StructType([T.StructField(f, T.DoubleType()) for f in _REP_FIELDS])
+
+
+def _repetition_row(t: str | None) -> dict:
+    """One document's repetition metrics in pure Python — the batch body
+    of the pandas impl (Counter over word-tuple n-grams; a tuple equals
+    another iff the space-joined grams are equal, since words carry no
+    whitespace). Caveat vs the expr impl: Python ``str.split``/``strip``
+    treat Unicode whitespace as separators where Java ``\\s`` is
+    ASCII-only — identical on ASCII-whitespace corpora (pinned in
+    tests), divergent only on exotic whitespace."""
+    t = t or ""
+    total = len(t)
+
+    def safe(a: int, b: int) -> float:
+        return float(a) / float(b) if b > 0 else 0.0
+
+    def dup(elems: list[str]) -> tuple[int, int, int]:
+        c = Counter(elems)
+        return (
+            len(elems),
+            sum(k - 1 for k in c.values() if k > 1),
+            sum((k - 1) * len(e) for e, k in c.items() if k > 1),
+        )
+
+    st = t.strip()
+    lines = [p.strip() for p in re.split(r"\n+", st) if p.strip()]
+    paras = [p.strip() for p in re.split(r"\n\s*\n", st) if p.strip()]
+    ln, ldup, lch = dup(lines)
+    pn, pdup, pch = dup(paras)
+    out = {
+        "dup_line_frac": safe(ldup, ln),
+        "dup_line_char_frac": safe(lch, total),
+        "dup_para_frac": safe(pdup, pn),
+        "dup_para_char_frac": safe(pch, total),
+    }
+    ws = t.split()
+    for n in _TOP_NGRAM_THRESHOLDS:
+        c = Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        best = 0
+        if c:
+            top = max(c.values())
+            # chars of a gram = word lengths + (n-1) joiner spaces
+            best = max(
+                (k * (sum(map(len, g)) + n - 1) for g, k in c.items() if k == top),
+                default=0,
+            )
+        out[f"top_{n}gram_char_frac"] = safe(best, total)
+    for n in _DUP_NGRAM_THRESHOLDS:
+        c = Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        rep = sum((k - 1) * (sum(map(len, g)) + n - 1) for g, k in c.items() if k > 1)
+        out[f"dup_{n}gram_char_frac"] = safe(rep, total)
+    return out
+
+
+def _repetition_signals_pandas(text: Column | str) -> Column:
+    """Arrow-batched twin of the expr impl — 20x faster measured (see
+    module docstring); the UDF is built per call so module import never
+    needs an active session (Spark 4.x pandas_udf gotcha)."""
+
+    @F.pandas_udf(_REP_SCHEMA)
+    def rep(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_repetition_row(v) for v in s], columns=_REP_FIELDS
+        )
+
+    return rep(_text(text))
+
+
+def gopher_repetition_signals(text: Column | str, impl: str = "pandas") -> Column:
     """struct of the raw repetition metrics: ``dup_line_frac``,
     ``dup_line_char_frac``, ``dup_para_frac``, ``dup_para_char_frac``,
     ``top_{2,3,4}gram_char_frac``, ``dup_{5..10}gram_char_frac``.
-    Character fractions are over ``length(text)`` (DataTrove)."""
+    Character fractions are over ``length(text)`` (DataTrove).
+
+    ``impl="pandas"`` (default): Arrow-batched UDF, one map stage,
+    measured 20x the expr path (module docstring). ``impl="expr"``:
+    pure Catalyst expressions, zero Python — same output, pinned in
+    ``tests/test_gopher.py``."""
+    if impl == "pandas":
+        return _repetition_signals_pandas(text)
+    if impl != "expr":
+        raise ValueError(f"gopher_repetition_signals: unknown impl {impl!r}")
     t = _text(text)
     total = F.length(t)
     words = _words(t)
@@ -320,12 +419,16 @@ def gopher_repetition_pass(
     max_dup_para_char_frac: float = 0.20,
     top_ngram_thresholds: dict[int, float] | None = None,
     dup_ngram_thresholds: dict[int, float] | None = None,
+    impl: str = "pandas",
 ) -> Column:
     """Boolean: the document survives every repetition rule at the
-    paper's thresholds (all overridable)."""
+    paper's thresholds (all overridable). With ``impl="pandas"`` the 13
+    field references share ONE ArrowEvalPython evaluation (identical
+    PythonUDF expressions are deduplicated at extraction —
+    plan-asserted in tests), so the pass costs the same as the struct."""
     tops = _TOP_NGRAM_THRESHOLDS if top_ngram_thresholds is None else top_ngram_thresholds
     dups = _DUP_NGRAM_THRESHOLDS if dup_ngram_thresholds is None else dup_ngram_thresholds
-    s = gopher_repetition_signals(text)
+    s = gopher_repetition_signals(text, impl=impl)
     cond = (
         (s["dup_line_frac"] <= max_dup_line_frac)
         & (s["dup_para_frac"] <= max_dup_para_frac)
@@ -344,16 +447,19 @@ def gopher_filter(
     text_col: str = "text",
     quality: bool = True,
     repetition: bool = True,
+    impl: str = "pandas",
     **thresholds,
 ) -> DataFrame:
     """The corpus minus every document failing the selected Gopher rule
     groups — one map-side filter, no shuffle. Threshold kwargs are
     routed to :func:`gopher_quality_pass` / :func:`gopher_repetition_pass`
-    by parameter name."""
+    by parameter name. ``impl`` picks the repetition-side evaluator
+    (``"pandas"`` Arrow-batched default, 20x measured; ``"expr"`` for a
+    Python-free plan — quality is always pure-expression)."""
     import inspect
 
     q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
-    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text"}
+    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text", "impl"}
     unknown = set(thresholds) - q_names - r_names
     if unknown:
         raise TypeError(f"gopher_filter: unknown thresholds {sorted(unknown)}")
@@ -364,6 +470,8 @@ def gopher_filter(
         )
     if repetition:
         cond = cond & gopher_repetition_pass(
-            text_col, **{k: v for k, v in thresholds.items() if k in r_names}
+            text_col,
+            impl=impl,
+            **{k: v for k, v in thresholds.items() if k in r_names},
         )
     return df.filter(cond)

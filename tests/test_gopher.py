@@ -176,17 +176,18 @@ def test_quality_signals_match_twin(gopher_df):
             assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
 
 
-def test_repetition_signals_match_twin(gopher_df):
+@pytest.mark.parametrize("impl", ["expr", "pandas"])
+def test_repetition_signals_match_twin(gopher_df, impl):
     got = {
         r["doc_id"]: r["s"].asDict()
         for r in gopher_df.select(
-            "doc_id", G.gopher_repetition_signals("text").alias("s")
+            "doc_id", G.gopher_repetition_signals("text", impl=impl).alias("s")
         ).collect()
     }
     for i, t in enumerate(ALL_DOCS):
         want = twin_repetition(t)
         for k, v in want.items():
-            assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
+            assert got[i][k] == pytest.approx(v, abs=1e-12), (impl, i, k, t)
 
 
 def test_pass_flags_and_filter(gopher_df):
@@ -213,16 +214,40 @@ def test_pass_flags_and_filter(gopher_df):
     kept_ids = {r["doc_id"] for r in kept}
     assert kept_ids == {i for i, (q, rep) in rows.items() if q and rep}
     assert good_id in kept_ids
+    # both impls keep exactly the same documents
+    kept_expr = {
+        r["doc_id"]
+        for r in G.gopher_filter(gopher_df, "text", impl="expr").select("doc_id").collect()
+    }
+    assert kept_expr == kept_ids
 
     # threshold routing + unknown kwarg rejection
     loose = G.gopher_filter(gopher_df, "text", min_words=1, repetition=False)
     assert loose.count() > len(kept_ids)
     with pytest.raises(TypeError, match="unknown thresholds"):
         G.gopher_filter(gopher_df, "text", not_a_threshold=1)
+    with pytest.raises(ValueError, match="unknown impl"):
+        gopher_df.select(G.gopher_repetition_signals("text", impl="nope")).collect()
 
 
 def test_no_shuffle_no_python(gopher_df):
-    """The whole filter is one map-side stage: no Exchange, no Python eval."""
-    plan = G.gopher_filter(gopher_df, "text")._jdf.queryExecution().executedPlan().toString()
+    """impl="expr": one map-side stage, no Exchange, no Python eval."""
+    plan = (
+        G.gopher_filter(gopher_df, "text", impl="expr")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF fallback crept in
+
+
+def test_pandas_impl_one_arrow_eval_no_shuffle(gopher_df):
+    """impl="pandas" (default): still shuffle-free, and the 13 struct-field
+    references in the pass condition collapse to ONE ArrowEvalPython (the
+    identical PythonUDF expressions are deduplicated at extraction) — the
+    whole repetition side costs a single Arrow batch round-trip."""
+    plan = (
+        G.gopher_filter(gopher_df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
