@@ -348,10 +348,7 @@ def main() -> None:
     # -- corpus curation stage: C4 clean -> span dedup -> Gopher -> PII --
     # everything except the span shuffle is a map-side column expression,
     # so this line prices ONE corpus-level shuffle plus three fused scans.
-    from search_engine_core_spark.functions.c4 import c4_filter
-    from search_engine_core_spark.functions.gopher import gopher_filter
-    from search_engine_core_spark.functions.pii import redact_pii_df
-    from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
+    from search_engine_core_spark.operators.curation import curate
 
     # the synthetic corpus has no sentence punctuation, so the C4 rules
     # would trivially empty it — synthesize a period every 8 words (pure
@@ -367,10 +364,13 @@ def main() -> None:
                 F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. "), F.lit(".")
             ),
         )
-        cleaned = c4_filter(sentenced, "text", min_sentences=1)
-        deduped = dedup_three_sentence_spans(cleaned, "text", "doc_id")
-        kept = gopher_filter(deduped, "text", min_words=10, min_required_stopwords=1)
-        redact_pii_df(kept, "text").count()
+        curate(
+            sentenced,
+            "text",
+            "doc_id",
+            c4_opts={"min_sentences": 1},
+            gopher_opts={"min_words": 10, "min_required_stopwords": 1},
+        ).count()
 
     timings["curation_c4_gopher_pii"] = round(_timed(_curation), 3)
 

@@ -1,0 +1,198 @@
+"""End-to-end corpus curation: C4 → span dedup → Gopher → PII, with a
+per-document, per-rule attribution report and a one-row funnel.
+
+Composes the public web-corpus recipe (Raffel et al. 2020 §2.2 cleaning,
+Rae et al. 2021 Appendix-A quality/repetition gates, regex PII
+scrubbing) the way production curation stacks (DataTrove, NeMo Curator,
+CCNet) chain them. The reference engine has no analog — like
+``operators/sampling.py`` this is training-data-pipeline surface the
+brief adds beyond reference parity.
+
+Two consumption shapes:
+
+* :func:`curate` — the corpus that survives, PII-redacted. The fastest
+  path: each stage's rows drop before the next stage runs, so Gopher
+  never scores a C4 reject.
+* :func:`curation_report` — EVERY input doc with per-rule booleans
+  (``c4_pass``, ``span_changed``, ``gopher_quality_pass``,
+  ``gopher_repetition_pass``, ``kept``), the staged texts, and PII
+  counts. This is the debugging/audit surface: at 100 TB the question
+  is never just "how many dropped" but "which rule, and show me ten" —
+  a report row answers both, and :func:`curation_funnel` folds it to a
+  one-row stage-count summary in a single aggregate job.
+
+Why a report instead of ``Observation`` counters riding :func:`curate`:
+the span-dedup operator consumes its input in several plan branches
+(span extraction, the winners groupBy, the join-back), so a
+``CollectMetrics`` node placed upstream executes once PER BRANCH and
+over-counts — the funnel-over-report shape keeps every audited edge
+consumed exactly once instead.
+
+Scale shape: one pass. C4 flags and staged text are column expressions;
+span dedup contributes its one corpus-level shuffle (restricted to the
+C4 survivors, matching :func:`curate`'s semantics) plus a join of its
+REWRITES back to the report spine — duplicated spans are a small
+fraction of a real corpus, so that join's build side is small and AQE
+broadcasts it; Gopher/PII flags are map-side on the joined result. The
+funnel is a map-side-combinable global aggregate (13 sums, one row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.c4 import c4_clean_lines, c4_doc_pass, c4_filter
+from search_engine_core_spark.functions.gopher import (
+    gopher_filter,
+    gopher_quality_pass,
+    gopher_repetition_pass,
+)
+from search_engine_core_spark.functions.pii import pii_counts, redact_pii
+from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
+
+__all__ = ["curate", "curation_report", "curation_funnel"]
+
+
+def _split_opts(c4_opts: dict | None, gopher_opts: dict | None) -> tuple[dict, dict, dict]:
+    """(c4 line/page kwargs, gopher quality kwargs, gopher repetition
+    kwargs) with unknown keys rejected by the downstream callables."""
+    c4_o = dict(c4_opts or {})
+    g_o = dict(gopher_opts or {})
+    import inspect
+
+    q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
+    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text", "impl"}
+    unknown = set(g_o) - q_names - r_names
+    if unknown:
+        raise TypeError(f"curation: unknown gopher options {sorted(unknown)}")
+    return (
+        c4_o,
+        {k: v for k, v in g_o.items() if k in q_names},
+        {k: v for k, v in g_o.items() if k in r_names},
+    )
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    impl: str = "pandas",
+) -> DataFrame:
+    """The surviving, PII-redacted corpus: C4 line-clean + page gates →
+    corpus-level three-sentence-span dedup → Gopher quality/repetition
+    gates → PII redaction. Row-identical to
+    ``curation_report(...).filter("kept")`` with the redacted text
+    (pinned in tests)."""
+    c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
+    out = c4_filter(df, text_col, **c4_o)
+    out = dedup_three_sentence_spans(out, text_col, id_col)
+    out = gopher_filter(out, text_col, impl=impl, **gq_o, **gr_o)
+    return out.withColumn(text_col, redact_pii(text_col, pii_kinds))
+
+
+def curation_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    impl: str = "pandas",
+) -> DataFrame:
+    """One row per INPUT doc: ``(id, text_c4, c4_pass, span_changed,
+    text_deduped, gopher_quality_pass, gopher_repetition_pass, kept,
+    pii, text_redacted)``.
+
+    Stage semantics mirror :func:`curate` exactly: span dedup runs over
+    the C4 survivors only (a C4-rejected doc never claims a span
+    win), Gopher scores the span-deduped text, PII counts reflect the
+    pre-redaction text. Gopher/PII columns are NULL on docs that
+    already failed C4 — they were never scored in the sequential
+    pipeline, and charging them a verdict would misattribute the drop."""
+    c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
+    line_kw = {}
+    if "min_words_per_line" in c4_o:
+        line_kw["min_words_per_line"] = c4_o.pop("min_words_per_line")
+
+    spine = df.select(
+        F.col(id_col).alias(id_col),
+        c4_clean_lines(text_col, **line_kw).alias("text_c4"),
+    ).withColumn("c4_pass", c4_doc_pass("text_c4", **c4_o))
+
+    # span dedup over C4 survivors only; join its rewrites back. The
+    # rewritten side carries every survivor, but only CHANGED texts need
+    # to travel — project the diff to keep the joined relation small.
+    deduped = dedup_three_sentence_spans(
+        spine.filter("c4_pass").select(id_col, F.col("text_c4").alias("text")),
+        "text",
+        id_col,
+    )
+    rewrites = (
+        deduped.join(
+            spine.select(id_col, "text_c4"), id_col
+        )
+        .filter(F.col("text") != F.col("text_c4"))
+        .select(id_col, F.col("text").alias("_span_rewrite"))
+    )
+    rep = (
+        spine.join(rewrites, id_col, "left")
+        .withColumn("span_changed", F.col("_span_rewrite").isNotNull())
+        .withColumn("text_deduped", F.coalesce("_span_rewrite", "text_c4"))
+        .drop("_span_rewrite")
+    )
+
+    null_b = F.lit(None).cast("boolean")
+    gq = gopher_quality_pass("text_deduped", **gq_o)
+    gr = gopher_repetition_pass("text_deduped", impl=impl, **gr_o)
+    rep = (
+        rep.withColumn("gopher_quality_pass", F.when(F.col("c4_pass"), gq).otherwise(null_b))
+        .withColumn(
+            "gopher_repetition_pass", F.when(F.col("c4_pass"), gr).otherwise(null_b)
+        )
+        .withColumn(
+            "kept",
+            F.col("c4_pass")
+            & F.coalesce("gopher_quality_pass", F.lit(False))
+            & F.coalesce("gopher_repetition_pass", F.lit(False)),
+        )
+    )
+    return rep.withColumn(
+        "pii", F.when(F.col("c4_pass"), pii_counts("text_deduped", pii_kinds))
+    ).withColumn(
+        "text_redacted",
+        F.when(F.col("kept"), redact_pii("text_deduped", pii_kinds)),
+    )
+
+
+def curation_funnel(report: DataFrame) -> DataFrame:
+    """One row folding a :func:`curation_report`: ``n_in``, ``n_c4``
+    (survived C4), ``n_span_changed``, ``n_gopher_quality``,
+    ``n_gopher_repetition`` (survived that gate, among C4 survivors),
+    ``n_kept``, and total PII hits by kind over the kept text's
+    pre-redaction form. A single map-side-combinable aggregate."""
+    pii_fields = report.schema["pii"].dataType.fieldNames()
+    aggs = [
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("c4_pass").cast("long")).alias("n_c4"),
+        F.sum(F.col("span_changed").cast("long")).alias("n_span_changed"),
+        F.sum(F.coalesce("gopher_quality_pass", F.lit(False)).cast("long")).alias(
+            "n_gopher_quality"
+        ),
+        F.sum(F.coalesce("gopher_repetition_pass", F.lit(False)).cast("long")).alias(
+            "n_gopher_repetition"
+        ),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    ]
+    for f in pii_fields:
+        aggs.append(
+            F.sum(F.when(F.col("kept"), F.col(f"pii.{f}")).otherwise(F.lit(0))).alias(
+                f"kept_{f}"
+            )
+        )
+    return report.agg(*aggs)

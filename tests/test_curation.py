@@ -1,0 +1,148 @@
+"""Curation pipeline composition: curate / curation_report / curation_funnel.
+
+The rule math (C4, span dedup, Gopher, PII) is twin-tested in
+test_c4_pii.py / test_gopher.py; what this file pins is the COMPOSITION:
+the report's per-rule attribution must replay the sequential pipeline
+exactly (same survivors, same texts), and the funnel must count what the
+stages actually did.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.c4 import c4_filter
+from search_engine_core_spark.functions.gopher import gopher_filter
+from search_engine_core_spark.functions.pii import redact_pii
+from search_engine_core_spark.operators.curation import (
+    curate,
+    curation_funnel,
+    curation_report,
+)
+from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
+
+# A tiny corpus where every stage earns its keep. Sentences carry the
+# required stopwords and >=3-char mean word length so survivors clear the
+# (loosened) Gopher gates.
+SHARED = (
+    "The frontier drains politely and the queue stays warm. "
+    "The robots rules gate the fetch and the delay holds. "
+    "The scores rank the results and the pages come back."
+)
+DOCS = {
+    # 0: survives everything
+    0: SHARED + " The extra tail sentence keeps the doc around afterwards.",
+    # 1: duplicated span -> loses it to doc 0, remainder still passes
+    # (long enough that no single 4-gram covers >16% of the chars)
+    1: SHARED + " The second copy also carries the closing sentence here. "
+    "The trailing words keep the count high and the filter content. "
+    "The merge path folds the delta rows and the segments stay small. "
+    "The query side reads the union and the ranks hold steady.",
+    # 2: C4 reject (no terminal punctuation anywhere)
+    2: "heading alpha\nheading beta\nheading gamma",
+    # 3: passes C4 and quality, fails repetition: the same phrase inside
+    # DISTINCT sentences (so span dedup leaves it untouched)
+    3: "The spam phrase repeats badly in the first line. "
+    "The spam phrase repeats badly in the second line. "
+    "The spam phrase repeats badly in the third line. "
+    "The spam phrase repeats badly in the fourth line.",
+    # 4: passes C4 and Gopher, carries PII to redact
+    4: "The contact address sits right here and the mail flows. "
+    "Write alice@example.com for the details and the rest. "
+    "The server lives at 10.1.2.3 and the uptime holds steady. "
+    "The audit logs the counts and the redaction keeps the tokens. "
+    "The final line closes the page and the test ends.",
+    # 5: passes C4, fails Gopher quality (word count below the floor)
+    5: "The doc ends. The end came. The rest left.",
+}
+C4_OPTS = {"min_sentences": 3}
+GOPHER_OPTS = {"min_words": 12, "min_required_stopwords": 1}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(list(DOCS.items()), "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def report_rows(corpus):
+    rep = curation_report(
+        corpus, "text", "doc_id", c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS
+    )
+    return {r["doc_id"]: r for r in rep.collect()}
+
+
+def _sequential(corpus):
+    """The stage-by-stage pipeline curate() promises to equal."""
+    c4 = c4_filter(corpus, "text", **C4_OPTS)
+    deduped = dedup_three_sentence_spans(c4, "text", "doc_id")
+    kept = gopher_filter(deduped, "text", **GOPHER_OPTS)
+    return c4, deduped, kept.withColumn("text", redact_pii("text"))
+
+
+def test_curate_equals_sequential(corpus):
+    got = {r["doc_id"]: r["text"] for r in curate(
+        corpus, "text", "doc_id", c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS
+    ).collect()}
+    want = {r["doc_id"]: r["text"] for r in _sequential(corpus)[2].collect()}
+    assert got == want
+    assert set(got) == {0, 1, 4}
+
+
+def test_report_replays_pipeline(corpus, report_rows):
+    """report.filter(kept) carries exactly curate()'s rows and texts."""
+    got = {i: r["text_redacted"] for i, r in report_rows.items() if r["kept"]}
+    want = {r["doc_id"]: r["text"] for r in curate(
+        corpus, "text", "doc_id", c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS
+    ).collect()}
+    assert got == want
+
+
+def test_report_attribution(report_rows):
+    r = report_rows
+    assert {i for i in r if r[i]["c4_pass"]} == {0, 1, 3, 4, 5}
+    # doc 1 lost the shared span to doc 0 (global min id wins)
+    assert r[1]["span_changed"] and not r[0]["span_changed"]
+    assert "frontier" not in r[1]["text_deduped"]
+    assert "frontier" in r[0]["text_deduped"]
+    # each reject is attributed to the rule that killed it
+    assert not r[3]["span_changed"]  # distinct sentences: no span losses
+    assert r[3]["gopher_repetition_pass"] is False and r[3]["gopher_quality_pass"] is True
+    assert r[5]["gopher_quality_pass"] is False
+    # C4 rejects are never scored downstream (NULL, not False)
+    assert r[2]["gopher_quality_pass"] is None
+    assert r[2]["gopher_repetition_pass"] is None
+    assert r[2]["pii"] is None and r[2]["text_redacted"] is None
+    # PII counted pre-redaction, redacted in the kept text
+    assert r[4]["pii"]["n_email"] == 1 and r[4]["pii"]["n_ipv4"] == 1
+    assert "<EMAIL>" in r[4]["text_redacted"] and "<IP>" in r[4]["text_redacted"]
+
+
+def test_funnel_counts(corpus):
+    rep = curation_report(
+        corpus, "text", "doc_id", c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS
+    )
+    row = curation_funnel(rep).collect()[0].asDict()
+    c4, deduped, final = _sequential(corpus)
+    changed = (
+        deduped.alias("d")
+        .join(c4.alias("c"), "doc_id")
+        .filter(F.col("d.text") != F.col("c.text"))
+        .count()
+    )
+    assert row["n_in"] == len(DOCS)
+    assert row["n_c4"] == c4.count()
+    assert row["n_span_changed"] == changed == 1
+    assert row["n_kept"] == final.count() == 3
+    assert row["n_gopher_quality"] == 4   # docs 0, 1, 3, 4
+    # doc 5 also fails repetition: in a 42-char doc any single 4-gram
+    # covers >16% of the chars — short docs trip the top-n-gram rules
+    assert row["n_gopher_repetition"] == 3  # docs 0, 1, 4
+    assert row["kept_n_email"] == 1 and row["kept_n_ipv4"] == 1
+    assert row["kept_n_phone"] == 0
+
+
+def test_unknown_gopher_option_rejected(corpus):
+    with pytest.raises(TypeError, match="unknown gopher options"):
+        curate(corpus, gopher_opts={"not_a_rule": 1})
