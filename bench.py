@@ -374,6 +374,18 @@ def main() -> None:
 
     timings["curation_c4_gopher_pii"] = round(_timed(_curation), 3)
 
+    # windowed-hash ExactSubstr: prices the token-level explode (one row
+    # per window) + groupBy + loser join. window=20 because the synthetic
+    # docs run ~45 words; the paper's 50 would yield zero windows here.
+    from search_engine_core_spark.operators.spans import dedup_token_windows
+
+    def _token_dedup():
+        dedup_token_windows(
+            docs_tbl.repartition(cores), "text", "doc_id", window=20
+        ).count()
+
+    timings["dedup_token_windows"] = round(_timed(_token_dedup), 3)
+
     total = time.monotonic() - t_suite
     shutil.rmtree(work, ignore_errors=True)
     print(

@@ -1,26 +1,43 @@
-"""C4 corpus-level three-sentence-span deduplication.
+"""Corpus-level duplicated-span removal: C4 sentence spans and
+Lee-et-al token windows over one shared distributed core.
 
-Raffel et al. 2020 §2.2, final rule: "we discarded all but one of any
-three-sentence span occurring more than once in the data set." Unlike
-everything in :mod:`functions.c4` this is inherently a CORPUS-level
-operation — one shuffle by construction — so it lives with the other
-distributed dedup operators rather than the column-expression rules.
+Two public instantiations of the same "keep one global occurrence of
+any duplicated fixed-length span, excise the rest" semantics:
 
-Semantics (deviations documented):
+* :func:`dedup_three_sentence_spans` — Raffel et al. 2020 §2.2, final
+  rule: "we discarded all but one of any three-sentence span occurring
+  more than once in the data set". Unit = sentence
+  (``functions.c4.sentence_split``), span = 3, span keys normalized
+  (lowercase, non-[a-z0-9] stripped — c4_utils ``_hash_text`` uses a
+  normalized MD5; same idea, cheaper hash).
+* :func:`dedup_token_windows` — the windowed-hash approximation of
+  Lee et al. 2021 (arXiv:2107.06499, "Deduplicating Training Data
+  Makes Language Models Better") ExactSubstr: "when two documents
+  share a substring of at least 50 tokens, remove the substring from
+  one of them". Unit = whitespace token, span = ``window`` (paper: 50),
+  exact keys (no normalization — ExactSubstr is exact). DEVIATIONS:
+  the paper finds MAXIMAL duplicated substrings with a corpus suffix
+  array and BPE tokens; fixed windows over whitespace tokens
+  approximate that — a duplicated block of length L >= window is
+  covered by its L-window+1 overlapping windows (their removal sets
+  union to the whole block), but a duplicated run shorter than
+  ``window`` is never seen, and removal boundaries land on whitespace
+  tokens rather than BPE pieces. Document-scale suffix automata do not
+  distribute; overlapping hashed windows are the standard shuffle-
+  friendly stand-in.
 
-* sentence unit = ``functions.c4.sentence_split`` (deterministic regex
-  boundary; TFDS c4_utils uses NLTK — dependency-free stand-in);
-* span key = xxhash64 of the span text lowercased with all
-  non-[a-z0-9] removed (c4_utils ``_hash_text`` uses a normalized MD5;
-  same idea, cheaper hash — a collision would remove one extra span,
-  negligible at 64 bits and documented rather than silent);
+Shared semantics (deviations from both papers documented):
+
 * the single kept occurrence of a duplicated span is the global
   ``min(struct(id, span_idx))`` — a pure function of the data, where
-  c4_utils keeps whichever occurrence its pipeline happens to see first;
-* a loser occurrence removes its three sentences (union across
+  the reference pipelines keep whichever occurrence they happen to see
+  first (order-dependent);
+* a loser occurrence removes its ``span`` units (union across
   overlapping losing spans); docs with removals are rebuilt by joining
-  surviving sentences with a single space (c4_utils rebuild), docs
-  without removals keep their original text byte-for-byte.
+  surviving units with ``joiner``, docs without removals keep their
+  original text byte-for-byte;
+* span keys are xxhash64 — a collision removes one extra span,
+  negligible at 64 bits and documented rather than silent.
 
 Scale shape: one map-side explode of (id, span_idx, hash64) — 12 bytes
 a span, never the span text; one map-side-combinable groupBy(hash) min;
@@ -28,29 +45,47 @@ one join back restricted to LOSERS only (duplicated spans are a small
 fraction of a real corpus, and AQE may broadcast it); one groupBy(id)
 to union removal indices; one sort-merge join to the docs. No step
 holds a per-key list of documents, so skew on a viral span costs a
-combiner, not an OOM.
+combiner, not an OOM. Token windows explode ~n_tokens rows per doc vs
+~n_sentences for the C4 variant — ~20-50x more rows but still 12 B
+each (a 1k-token doc is ~12 KB of exploded state, smaller than the doc).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from search_engine_core_spark.functions.c4 import sentence_split
 
-__all__ = ["dedup_three_sentence_spans", "span_hashes"]
+__all__ = ["dedup_three_sentence_spans", "dedup_token_windows", "span_hashes"]
 
 _SPAN = 3
 
+_C4_NORM = lambda s: F.regexp_replace(F.lower(s), "[^a-z0-9]", "")  # noqa: E731
 
-def span_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, span_idx, span_hash) — one row per three-sentence span.
-    Hashes are computed inside the array transform and the span STRING
-    is never materialized as a column, so the exploded relation is a
-    fixed 20-ish bytes per span regardless of document size."""
-    sents = sentence_split(text_col)
-    norm = lambda s: F.regexp_replace(F.lower(s), "[^a-z0-9]", "")
-    n_spans = F.size(sents) - F.lit(_SPAN - 1)
+
+def _tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (Python ``str.split()``
+    semantics, same unit as ``text_quality.word_count``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def _span_hash_rows(
+    df: DataFrame,
+    units: Column,
+    id_col: str,
+    span: int,
+    norm: Callable[[Column], Column] | None,
+) -> DataFrame:
+    """(id, span_idx, span_hash) — one row per length-``span`` unit
+    window. Hashes are computed inside the array transform and the span
+    STRING is never materialized as a column, so the exploded relation
+    is a fixed 20-ish bytes per span regardless of document size."""
+    key = norm or (lambda c: c)
+    n_spans = F.size(units) - F.lit(span - 1)
     spans = F.when(
         n_spans >= 1,
         F.transform(
@@ -58,7 +93,7 @@ def span_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             lambda i: F.struct(
                 i.cast("int").alias("span_idx"),
                 F.xxhash64(
-                    norm(F.concat_ws(" ", F.slice(sents, i + 1, _SPAN)))
+                    key(F.concat_ws(" ", F.slice(units, i + 1, span)))
                 ).alias("span_hash"),
             ),
         ),
@@ -68,19 +103,28 @@ def span_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select("id", "s.span_idx", "s.span_hash")
 
 
-def dedup_three_sentence_spans(
+def span_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4 sentence-span keys: (id, span_idx, span_hash), one row per
+    normalized three-sentence span."""
+    return _span_hash_rows(df, sentence_split(text_col), id_col, _SPAN, _C4_NORM)
+
+
+def _dedup_spans_core(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    joiner: str = " ",
+    text_col: str,
+    id_col: str,
+    units_of: Callable[[str], Column],
+    span: int,
+    joiner: str,
+    norm: Callable[[Column], Column] | None,
 ) -> DataFrame:
-    """The corpus with every duplicated three-sentence span kept exactly
-    once (at its global ``min(id, span_idx)`` occurrence) and removed —
-    sentence-wise — everywhere else. Returns ``df`` with ``text_col``
-    rewritten on affected docs only; schema and row count unchanged
-    (a doc whose every sentence is removed keeps an empty string —
+    """The corpus with every duplicated length-``span`` unit window kept
+    exactly once (at its global ``min(id, span_idx)`` occurrence) and
+    removed — unit-wise — everywhere else. Returns ``df`` with
+    ``text_col`` rewritten on affected docs only; schema and row count
+    unchanged (a doc whose every unit is removed keeps an empty string —
     compose with ``c4_doc_pass``/``gopher_quality_pass`` to drop it)."""
-    spans = span_hashes(df, text_col, id_col)
+    spans = _span_hash_rows(df, units_of(text_col), id_col, span, norm)
 
     winners = spans.groupBy("span_hash").agg(
         F.min(F.struct("id", "span_idx")).alias("keep"),
@@ -94,20 +138,52 @@ def dedup_three_sentence_spans(
         .select(
             "id",
             F.explode(
-                F.sequence(F.col("span_idx"), F.col("span_idx") + F.lit(_SPAN - 1))
-            ).alias("sent_idx"),
+                F.sequence(F.col("span_idx"), F.col("span_idx") + F.lit(span - 1))
+            ).alias("unit_idx"),
         )
         .groupBy("id")
-        .agg(F.collect_set("sent_idx").alias("_removed"))
+        .agg(F.collect_set("unit_idx").alias("_removed"))
     )
 
     out = df.join(losers, df[id_col] == losers["id"], "left").drop(losers["id"])
-    sents = sentence_split(text_col)
+    units = units_of(text_col)
     rebuilt = F.array_join(
-        F.filter(sents, lambda s, i: ~F.array_contains(F.col("_removed"), i.cast("int"))),
+        F.filter(units, lambda u, i: ~F.array_contains(F.col("_removed"), i.cast("int"))),
         joiner,
     )
     return out.withColumn(
         text_col,
         F.when(F.col("_removed").isNull(), F.col(text_col)).otherwise(rebuilt),
     ).drop("_removed")
+
+
+def dedup_three_sentence_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = " ",
+) -> DataFrame:
+    """C4's corpus-level rule: every duplicated three-sentence span kept
+    exactly once, removed sentence-wise everywhere else (module
+    docstring for semantics and scale shape)."""
+    return _dedup_spans_core(
+        df, text_col, id_col, sentence_split, _SPAN, joiner, _C4_NORM
+    )
+
+
+def dedup_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    joiner: str = " ",
+) -> DataFrame:
+    """Windowed-hash ExactSubstr (Lee et al. 2021): every duplicated
+    ``window``-token run kept exactly once, removed token-wise
+    everywhere else. A shared block of L >= window tokens loses its
+    whole extent at the losing occurrences (overlapping windows tile
+    it); runs shorter than ``window`` are below the rule's threshold by
+    construction (module docstring for the approximation's limits)."""
+    if window < 2:
+        raise ValueError(f"dedup_token_windows: window must be >= 2, got {window}")
+    return _dedup_spans_core(df, text_col, id_col, _tokens, window, joiner, None)

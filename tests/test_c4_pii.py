@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from search_engine_core_spark.functions import c4 as C4
 from search_engine_core_spark.functions import pii as PII
-from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
+from search_engine_core_spark.operators.spans import (
+    dedup_three_sentence_spans,
+    dedup_token_windows,
+)
 
 # ---------------------------------------------------------------------------
 # Pure-Python twins
@@ -234,6 +237,81 @@ def test_span_dedup_matches_twin(spark):
     for i, t in docs.items():
         if i not in (5, 9, 13):
             assert got[i] == t, i
+
+
+def twin_window_dedup(docs: dict[int, str], window: int, joiner: str = " ") -> dict[int, str]:
+    """Exact-token analog of twin_span_dedup: min-(id, idx) winner per
+    window-token run; losers drop their tokens."""
+    occurrences: dict[str, list[tuple[int, int]]] = {}
+    tok_map = {i: (t or "").split() for i, t in docs.items()}
+    for i, toks in tok_map.items():
+        for j in range(len(toks) - window + 1):
+            occurrences.setdefault(" ".join(toks[j : j + window]), []).append((i, j))
+    removed: dict[int, set[int]] = {}
+    for occ in occurrences.values():
+        if len(occ) < 2:
+            continue
+        keep = min(occ)
+        for i, j in occ:
+            if (i, j) != keep:
+                removed.setdefault(i, set()).update(range(j, j + window))
+    out = {}
+    for i, t in docs.items():
+        if i not in removed:
+            out[i] = t
+        else:
+            out[i] = joiner.join(
+                tok for j, tok in enumerate(tok_map[i]) if j not in removed[i]
+            )
+    return out
+
+
+def _token_corpus(window: int) -> dict[int, str]:
+    rng = random.Random(29)
+    vocab = [f"w{k}" for k in range(40)]
+    block = " ".join(rng.choice(vocab) for _ in range(window + 10))  # > window
+    docs = {}
+    for i in range(10):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 120))]
+        docs[i] = " ".join(toks)
+    # plant the shared block mid-doc in 3 and 7 (and at offset 0 in 9)
+    docs[3] = docs[3][: len(docs[3]) // 2] + " " + block + " " + docs[3][len(docs[3]) // 2 :]
+    docs[7] = block + " tail tokens here"
+    docs[9] = docs[9] + " " + block
+    # an exact-duplicate pair longer than the window
+    dup = " ".join(rng.choice(vocab) for _ in range(window + 5))
+    docs[10] = dup
+    docs[11] = dup
+    # short docs (< window tokens) are never touched
+    docs[12] = "tiny doc under the window"
+    return docs
+
+
+def test_token_window_dedup_matches_twin(spark):
+    window = 20
+    docs = _token_corpus(window)
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_token_windows(df, "text", "doc_id", window=window).collect()
+    }
+    want = twin_window_dedup(docs, window)
+    assert got == want
+    # doc 7 (block at offset 0) and doc 9 lose the shared block to doc 3's
+    # copy (the global min-(id, idx) occurrence)
+    assert len(got[7].split()) < len(docs[7].split())
+    assert len(got[9].split()) < len(docs[9].split())
+    assert got[3] == docs[3]  # min-(id, idx) winner untouched
+    # exact-duplicate pair: the higher id is gutted
+    assert got[10] == docs[10] and got[11] == ""
+    # sub-window docs byte-identical
+    assert got[12] == docs[12]
+
+
+def test_token_window_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="window must be"):
+        dedup_token_windows(df, window=1)
 
 
 def test_span_dedup_noop_corpus(spark):
