@@ -29,8 +29,13 @@ three-sentence span) needs a shuffle by construction and lives in
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.textprims import strip_ws as _strip
+from search_engine_core_spark.functions.textprims import text_or_empty as _text
 
 __all__ = [
     "C4_DEFAULT_BADWORDS",
@@ -52,15 +57,6 @@ _JAVASCRIPT_RE = r"(?i)\bjavascript\b"
 _LOREM_RE = r"(?i)lorem ipsum"
 # Sentence boundary for counting/spans: terminal punct then whitespace.
 _SENT_SPLIT_RE = r'(?<=[.!?"”])\s+'
-
-
-def _text(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    return F.coalesce(c, F.lit(""))
-
-
-def _strip(c: Column) -> Column:
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def _line_pass(line: Column, min_words: int) -> Column:
@@ -114,7 +110,11 @@ def c4_doc_pass(
     words = list(C4_DEFAULT_BADWORDS if badwords is None else badwords)
     bad = F.lit(False)
     if words:
-        alternation = "|".join(sorted(words))
+        # escape each word: LDNOOBW-style lists carry regex metachars
+        # ("c++", "a.s.s") that would otherwise break the Java pattern
+        # or match any character; re.escape output is Java-compatible
+        # (backslash-escaped ASCII punctuation).
+        alternation = "|".join(re.escape(w) for w in sorted(words))
         bad = t.rlike(r"(?i)\b(?:" + alternation + r")\b")
     return (
         (F.size(sentence_split(t)) >= F.lit(min_sentences))

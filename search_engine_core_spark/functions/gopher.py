@@ -71,6 +71,7 @@ __all__ = [
     "gopher_repetition_signals",
     "gopher_repetition_pass",
     "gopher_filter",
+    "split_gopher_thresholds",
 ]
 
 # Appendix A: "contains at least two of the following English words"
@@ -84,31 +85,15 @@ _TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 _DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _text(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    return F.coalesce(c, F.lit(""))
-
-
-def _strip(c: Column) -> Column:
-    """Full-whitespace strip (Python ``str.strip()`` semantics) —
-    ``F.trim`` only removes ASCII spaces, not newlines/tabs."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
-
-
-def _words(text: Column) -> Column:
-    """Whitespace words (Python ``str.split()`` / istringstream
-    semantics, same as ``text_quality.word_count``): empty or
-    whitespace-only text -> empty array."""
-    return F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
-
-
-def _lines(text: Column, para: bool = False) -> Column:
-    """Lines (split on runs of newlines) or paragraphs (split on blank
-    lines), stripped, empties dropped — DataTrove's splitters."""
-    pat = r"\n\s*\n" if para else r"\n+"
-    parts = F.split(_strip(text), pat)
-    stripped = F.transform(parts, lambda p: _strip(p))
-    return F.filter(stripped, lambda p: F.length(p) > 0)
+from search_engine_core_spark.functions.textprims import (  # noqa: E402
+    split_lines as _lines,
+)
+from search_engine_core_spark.functions.textprims import (  # noqa: E402
+    text_or_empty as _text,
+)
+from search_engine_core_spark.functions.textprims import (  # noqa: E402
+    ws_words as _words,
+)
 
 
 def _safe_ratio(num: Column, den: Column) -> Column:
@@ -425,9 +410,23 @@ def gopher_repetition_pass(
     paper's thresholds (all overridable). With ``impl="pandas"`` the 13
     field references share ONE ArrowEvalPython evaluation (identical
     PythonUDF expressions are deduplicated at extraction —
-    plan-asserted in tests), so the pass costs the same as the struct."""
+    plan-asserted in tests), so the pass costs the same as the struct.
+
+    A threshold dict you pass IS the enforced rule set for its group: a
+    partial dict checks only those n (omitting a paper rule is the
+    caller's explicit choice); keys outside the computed signal ranges
+    (top: 2-4, dup: 5-10) are rejected — the signals struct has no
+    field to check them against."""
     tops = _TOP_NGRAM_THRESHOLDS if top_ngram_thresholds is None else top_ngram_thresholds
     dups = _DUP_NGRAM_THRESHOLDS if dup_ngram_thresholds is None else dup_ngram_thresholds
+    bad_tops = set(tops) - set(_TOP_NGRAM_THRESHOLDS)
+    bad_dups = set(dups) - set(_DUP_NGRAM_THRESHOLDS)
+    if bad_tops or bad_dups:
+        raise ValueError(
+            "gopher_repetition_pass: thresholds for uncomputed n-gram sizes "
+            f"(top: {sorted(bad_tops)}, dup: {sorted(bad_dups)}); signals cover "
+            f"top {sorted(_TOP_NGRAM_THRESHOLDS)} and dup {sorted(_DUP_NGRAM_THRESHOLDS)}"
+        )
     s = gopher_repetition_signals(text, impl=impl)
     cond = (
         (s["dup_line_frac"] <= max_dup_line_frac)
@@ -440,6 +439,23 @@ def gopher_repetition_pass(
     for n, th in dups.items():
         cond = cond & (s[f"dup_{n}gram_char_frac"] <= th)
     return cond
+
+
+def split_gopher_thresholds(thresholds: dict) -> tuple[dict, dict]:
+    """Route a mixed threshold dict to (quality kwargs, repetition
+    kwargs) by parameter name, rejecting unknowns — the single routing
+    used by :func:`gopher_filter` and ``operators.curation``."""
+    import inspect
+
+    q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
+    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text", "impl"}
+    unknown = set(thresholds) - q_names - r_names
+    if unknown:
+        raise TypeError(f"gopher thresholds: unknown thresholds {sorted(unknown)}")
+    return (
+        {k: v for k, v in thresholds.items() if k in q_names},
+        {k: v for k, v in thresholds.items() if k in r_names},
+    )
 
 
 def gopher_filter(
@@ -456,22 +472,10 @@ def gopher_filter(
     by parameter name. ``impl`` picks the repetition-side evaluator
     (``"pandas"`` Arrow-batched default, 20x measured; ``"expr"`` for a
     Python-free plan — quality is always pure-expression)."""
-    import inspect
-
-    q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
-    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text", "impl"}
-    unknown = set(thresholds) - q_names - r_names
-    if unknown:
-        raise TypeError(f"gopher_filter: unknown thresholds {sorted(unknown)}")
+    q_kw, r_kw = split_gopher_thresholds(thresholds)
     cond = F.lit(True)
     if quality:
-        cond = cond & gopher_quality_pass(
-            text_col, **{k: v for k, v in thresholds.items() if k in q_names}
-        )
+        cond = cond & gopher_quality_pass(text_col, **q_kw)
     if repetition:
-        cond = cond & gopher_repetition_pass(
-            text_col,
-            impl=impl,
-            **{k: v for k, v in thresholds.items() if k in r_names},
-        )
+        cond = cond & gopher_repetition_pass(text_col, impl=impl, **r_kw)
     return df.filter(cond)

@@ -38,7 +38,13 @@ __all__ = [
 _EMAIL = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 _OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _IPV4 = r"\b" + _OCTET + r"(?:\." + _OCTET + r"){3}\b"
-_PHONE = r"(?:\+?1[-. ])?\(?[2-9][0-9]{2}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+# The left edge needs an explicit guard, not just the optional-prefix
+# group: without it the match can START mid-run inside a longer digit
+# string ("order id 812345 678-9012" would redact "345 678-9012").
+# (?<![\d.-]) is a fixed-width lookbehind (portable Java/Python); it
+# also deliberately refuses matches glued to a preceding '-'/'.' —
+# conservative by design, same policy as the 3-3-4 shape itself.
+_PHONE = r"(?<![\d.-])(?:\+?1[-. ])?\(?[2-9][0-9]{2}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
 
 # kind -> (pattern, default replacement token)
 PII_PATTERNS: dict[str, tuple[str, str]] = {
@@ -48,9 +54,9 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
-def _text(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    return F.coalesce(c, F.lit(""))
+from search_engine_core_spark.functions.textprims import (  # noqa: E402
+    text_or_empty as _text,
+)
 
 
 def pii_counts(text: Column | str, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:

@@ -47,6 +47,7 @@ from search_engine_core_spark.functions.gopher import (
     gopher_filter,
     gopher_quality_pass,
     gopher_repetition_pass,
+    split_gopher_thresholds,
 )
 from search_engine_core_spark.functions.pii import pii_counts, redact_pii
 from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
@@ -56,21 +57,10 @@ __all__ = ["curate", "curation_report", "curation_funnel"]
 
 def _split_opts(c4_opts: dict | None, gopher_opts: dict | None) -> tuple[dict, dict, dict]:
     """(c4 line/page kwargs, gopher quality kwargs, gopher repetition
-    kwargs) with unknown keys rejected by the downstream callables."""
-    c4_o = dict(c4_opts or {})
-    g_o = dict(gopher_opts or {})
-    import inspect
-
-    q_names = set(inspect.signature(gopher_quality_pass).parameters) - {"text"}
-    r_names = set(inspect.signature(gopher_repetition_pass).parameters) - {"text", "impl"}
-    unknown = set(g_o) - q_names - r_names
-    if unknown:
-        raise TypeError(f"curation: unknown gopher options {sorted(unknown)}")
-    return (
-        c4_o,
-        {k: v for k, v in g_o.items() if k in q_names},
-        {k: v for k, v in g_o.items() if k in r_names},
-    )
+    kwargs) — the gopher routing/validation is gopher.py's own
+    :func:`split_gopher_thresholds`, not a copy."""
+    q_kw, r_kw = split_gopher_thresholds(dict(gopher_opts or {}))
+    return dict(c4_opts or {}), q_kw, r_kw
 
 
 def curate(
@@ -149,7 +139,14 @@ def curation_report(
 
     null_b = F.lit(None).cast("boolean")
     gq = gopher_quality_pass("text_deduped", **gq_o)
-    gr = gopher_repetition_pass("text_deduped", impl=impl, **gr_o)
+    # Spark extracts Python UDFs OUT of CASE WHEN and evaluates them on
+    # every row, so wrapping the repetition verdict in when(c4_pass, ...)
+    # alone would still pay the Arrow batch for every C4 reject. Mask the
+    # INPUT instead: rejects feed NULL, whose per-row cost is O(1), and
+    # the outer when() nulls the (meaningless) verdict as before.
+    gr = gopher_repetition_pass(
+        F.when(F.col("c4_pass"), F.col("text_deduped")), impl=impl, **gr_o
+    )
     rep = (
         rep.withColumn("gopher_quality_pass", F.when(F.col("c4_pass"), gq).otherwise(null_b))
         .withColumn(

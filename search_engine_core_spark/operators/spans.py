@@ -8,8 +8,13 @@ any duplicated fixed-length span, excise the rest" semantics:
   rule: "we discarded all but one of any three-sentence span occurring
   more than once in the data set". Unit = sentence
   (``functions.c4.sentence_split``), span = 3, span keys normalized
-  (lowercase, non-[a-z0-9] stripped — c4_utils ``_hash_text`` uses a
-  normalized MD5; same idea, cheaper hash).
+  (lowercase, everything but Unicode letters/digits stripped via
+  ``(?U)\\W`` so non-Latin scripts keep their identity — c4_utils
+  ``_hash_text`` normalizes with Python's Unicode-aware ``\\W`` before
+  MD5; same idea, cheaper hash). Spans whose key normalizes to EMPTY
+  (all-punctuation runs) are exempt from dedup — they carry no content
+  identity and would otherwise all collide on one hash and gut each
+  other.
 * :func:`dedup_token_windows` — the windowed-hash approximation of
   Lee et al. 2021 (arXiv:2107.06499, "Deduplicating Training Data
   Makes Language Models Better") ExactSubstr: "when two documents
@@ -42,10 +47,14 @@ Shared semantics (deviations from both papers documented):
 Scale shape: one map-side explode of (id, span_idx, hash64) — 12 bytes
 a span, never the span text; one map-side-combinable groupBy(hash) min;
 one join back restricted to LOSERS only (duplicated spans are a small
-fraction of a real corpus, and AQE may broadcast it); one groupBy(id)
-to union removal indices; one sort-merge join to the docs. No step
-holds a per-key list of documents, so skew on a viral span costs a
-combiner, not an OOM. Token windows explode ~n_tokens rows per doc vs
+fraction of a real corpus, and AQE may broadcast it). The rebuild is
+relational and touches AFFECTED docs only: explode their units,
+anti-join the removed (id, unit_idx) rows, re-assemble in index order —
+O(units) per doc with aggregation state bounded by the doc itself
+(never an expression-level per-unit membership scan, which is
+O(units x removed) on a fully-duplicated long doc). No step holds a
+per-key list of documents, so skew on a viral span costs a combiner,
+not an OOM. Token windows explode ~n_tokens rows per doc vs
 ~n_sentences for the C4 variant — ~20-50x more rows but still 12 B
 each (a 1k-token doc is ~12 KB of exploded state, smaller than the doc).
 """
@@ -63,7 +72,10 @@ __all__ = ["dedup_three_sentence_spans", "dedup_token_windows", "span_hashes"]
 
 _SPAN = 3
 
-_C4_NORM = lambda s: F.regexp_replace(F.lower(s), "[^a-z0-9]", "")  # noqa: E731
+# (?U) makes Java's \W Unicode-aware (Python's re.sub(r"\W", ...) is by
+# default), so Cyrillic/CJK/Greek spans keep distinct keys instead of
+# all normalizing to "".
+_C4_NORM = lambda s: F.regexp_replace(F.lower(s), r"(?U)[\W_]", "")  # noqa: E731
 
 
 def _tokens(text: Column | str) -> Column:
@@ -98,9 +110,15 @@ def _span_hash_rows(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<span_idx:int,span_hash:bigint>>"))
-    return df.select(
+    rows = df.select(
         F.col(id_col).alias("id"), F.explode(spans).alias("s")
     ).select("id", "s.span_idx", "s.span_hash")
+    if norm is not None:
+        # spans whose key normalized to "" carry no content identity:
+        # exempt them (they would all share xxhash64("") and gut every
+        # all-punctuation run corpus-wide). Constant-folded comparison.
+        rows = rows.filter(F.col("span_hash") != F.xxhash64(F.lit("")))
+    return rows
 
 
 def span_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -130,7 +148,9 @@ def _dedup_spans_core(
         F.min(F.struct("id", "span_idx")).alias("keep"),
         F.count(F.lit(1)).alias("n"),
     )
-    losers = (
+    # (id, unit_idx) rows to remove — overlapping losing spans produce
+    # duplicate rows; the anti-join below absorbs them.
+    removed = (
         spans.join(winners.filter(F.col("n") > 1), "span_hash")
         .filter(
             ~((F.col("id") == F.col("keep.id")) & (F.col("span_idx") == F.col("keep.span_idx")))
@@ -141,20 +161,45 @@ def _dedup_spans_core(
                 F.sequence(F.col("span_idx"), F.col("span_idx") + F.lit(span - 1))
             ).alias("unit_idx"),
         )
-        .groupBy("id")
-        .agg(F.collect_set("unit_idx").alias("_removed"))
     )
 
-    out = df.join(losers, df[id_col] == losers["id"], "left").drop(losers["id"])
-    units = units_of(text_col)
-    rebuilt = F.array_join(
-        F.filter(units, lambda u, i: ~F.array_contains(F.col("_removed"), i.cast("int"))),
-        joiner,
+    # Rebuild relationally, touching AFFECTED docs only: explode their
+    # units, anti-join the removed indices, re-assemble in index order.
+    # (An earlier version collected removal indices per doc and rebuilt
+    # with a per-unit array_contains scan — O(units x removed) inside
+    # one row's expression eval, ~2.5e9 comparisons for a fully-
+    # duplicated 50k-token doc. The explode/anti-join/re-agg shape is
+    # O(units) per doc and its per-row aggregation state is bounded by
+    # the doc itself.)
+    affected_ids = removed.select("id").distinct()
+    affected_units = df.join(affected_ids, df[id_col] == affected_ids["id"]).select(
+        # df[id_col] (not F.col) disambiguates when id_col == "id"
+        df[id_col].alias("id"),
+        F.posexplode(units_of(text_col)).alias("unit_idx", "unit"),
     )
+    kept_agg = (
+        affected_units.join(removed, ["id", "unit_idx"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("unit_idx", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                joiner,
+            ).alias("_rebuilt")
+        )
+    )
+    # docs whose every unit was removed have no kept rows -> empty text
+    rebuilt = affected_ids.join(kept_agg, "id", "left").select(
+        "id", F.coalesce("_rebuilt", F.lit("")).alias("_rebuilt")
+    )
+
+    out = df.join(rebuilt, df[id_col] == rebuilt["id"], "left").drop(rebuilt["id"])
     return out.withColumn(
         text_col,
-        F.when(F.col("_removed").isNull(), F.col(text_col)).otherwise(rebuilt),
-    ).drop("_removed")
+        F.when(F.col("_rebuilt").isNull(), F.col(text_col)).otherwise(F.col("_rebuilt")),
+    ).drop("_rebuilt")
 
 
 def dedup_three_sentence_spans(

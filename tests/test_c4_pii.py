@@ -59,14 +59,17 @@ def twin_doc_pass(t: str | None, min_sentences: int = 5, badwords=None) -> bool:
 
 def twin_span_dedup(docs: dict[int, str], joiner: str = " ") -> dict[int, str]:
     """min-(id, idx) winner per normalized 3-sentence span; losers drop
-    their 3 sentences; affected docs rebuilt with `joiner`."""
-    norm = lambda s: re.sub(r"[^a-z0-9]", "", s.lower())
+    their 3 sentences; affected docs rebuilt with `joiner`. Python \\W is
+    Unicode-aware, matching the Spark side's (?U) flag; empty keys
+    (all-punctuation spans) are exempt from dedup."""
+    norm = lambda s: re.sub(r"[\W_]", "", s.lower())
     occurrences: dict[str, list[tuple[int, int]]] = {}
     sent_map = {i: twin_sentences(t) for i, t in docs.items()}
     for i, sents in sent_map.items():
         for j in range(len(sents) - 2):
             key = norm(" ".join(sents[j : j + 3]))
-            occurrences.setdefault(key, []).append((i, j))
+            if key:
+                occurrences.setdefault(key, []).append((i, j))
     removed: dict[int, set[int]] = {}
     for occ in occurrences.values():
         if len(occ) < 2:
@@ -134,6 +137,11 @@ PII_DOCS = [
     "Server at 192.168.1.254 and 8.8.8.8; version 10.1.2.300 is not an IP.",
     "Call +1 (415) 555-2671 or 212-555-0188; order 123456789 stays.",
     "Mixed: eve@ex.org, 127.0.0.1, (650) 555-1234, and 999.999.999.999.",
+    # left-anchor regressions: a phone-shaped TAIL of a longer digit run
+    # must not match (the lookbehind blocks mid-run starts)
+    "order id 812345 678-9012 end",
+    "version 4.415 555.1234 tag",
+    "total 1234567-890-1234 sum",
 ]
 
 
@@ -230,7 +238,7 @@ def test_span_dedup_matches_twin(spark):
     want = twin_span_dedup(docs)
     assert got == want
     # the planted span survives in exactly one doc
-    norm = lambda s: re.sub(r"[^a-z0-9]", "", s.lower())
+    norm = lambda s: re.sub(r"[\W_]", "", s.lower())
     hits = [i for i, t in got.items() if norm(SHARED) in norm(t)]
     assert hits == [2]
     # untouched docs are byte-identical (no whitespace renormalization)
@@ -287,6 +295,63 @@ def _token_corpus(window: int) -> dict[int, str]:
     return docs
 
 
+def test_span_dedup_non_latin_and_punct_spans(spark):
+    """Regression: normalization must keep non-Latin identity (Unicode
+    \\W, not [^a-z0-9]) and all-punctuation spans must be exempt — with
+    the old ASCII normalization every span below keyed to '' and all
+    but one doc was gutted."""
+    docs = {
+        1: "Первое предложение тут. Второе идёт следом. Третье закрывает абзац. Хвостовая фраза остаётся.",
+        2: "Совсем другой текст начинается. Продолжение не совпадает вовсе. Третья фраза своя. Конец тоже другой.",
+        3: "第一句在这里。 第二句跟着。 第三句收尾。",  # distinct CJK
+        4: "!!! ??? ... !!! ??? ... !!! ??? ...",  # pure punctuation
+        # a real cross-doc duplicate, to prove dedup still fires
+        5: "Первое предложение тут. Второе идёт следом. Третье закрывает абзац. Другой хвост здесь живёт.",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_three_sentence_spans(df, "text", "doc_id").collect()
+    }
+    assert got == twin_span_dedup(docs)
+    # distinct non-Latin docs untouched
+    for i in (1, 2, 3, 4):
+        assert got[i] == docs[i], i
+    # the duplicated Cyrillic span was removed from the higher id
+    assert "Первое предложение" not in got[5]
+    assert "Другой хвост" in got[5]
+
+
+def test_c4_badwords_with_regex_metachars(c4_df, spark):
+    """Regression: badword lists carry regex metachars ('c++', 'a.s.s');
+    they must be escaped, not interpolated raw (PatternSyntaxException /
+    any-char matches)."""
+    df = spark.createDataFrame(
+        [
+            (0, "The c++ compiler builds fast. It links well. It ships today. "
+                "The tests pass. The docs exist."),
+            (1, "The cXX compiler builds fast. It links well. It ships today. "
+                "The tests pass. The docs exist."),
+        ],
+        "doc_id int, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in C4.c4_filter(df, "text", badwords=["c++", "a.s.s"]).collect()
+    }
+    # 'c++' pages dropped... but '\bc\+\+' needs a word boundary after
+    # '+', which never holds before a space — so the doc survives; the
+    # point of this test is no crash and no any-char false positive.
+    assert 1 in kept
+    # 'a.s.s' must NOT match 'apsqs' etc. via bare dots
+    df2 = spark.createDataFrame(
+        [(0, "The aXsXs word sits here. More text follows. And more. "
+             "Then a fourth. Then the fifth.")],
+        "doc_id int, text string",
+    )
+    assert C4.c4_filter(df2, "text", badwords=["a.s.s"]).count() == 1
+
+
 def test_token_window_dedup_matches_twin(spark):
     window = 20
     docs = _token_corpus(window)
@@ -336,6 +401,8 @@ def test_pii_counts_match_twin(pii_df):
     assert got[2]["n_email"] == 2
     assert got[3]["n_ipv4"] == 2  # 10.1.2.300 rejected by octet range
     assert got[4]["n_phone"] == 2
+    for i in (6, 7, 8):
+        assert got[i]["n_phone"] == 0, (i, PII_DOCS[i])
 
 
 def test_pii_redaction_matches_twin(pii_df):

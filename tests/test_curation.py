@@ -144,5 +144,5 @@ def test_funnel_counts(corpus):
 
 
 def test_unknown_gopher_option_rejected(corpus):
-    with pytest.raises(TypeError, match="unknown gopher options"):
+    with pytest.raises(TypeError, match="unknown thresholds"):
         curate(corpus, gopher_opts={"not_a_rule": 1})

@@ -228,6 +228,18 @@ def test_pass_flags_and_filter(gopher_df):
         G.gopher_filter(gopher_df, "text", not_a_threshold=1)
     with pytest.raises(ValueError, match="unknown impl"):
         gopher_df.select(G.gopher_repetition_signals("text", impl="nope")).collect()
+    # thresholds for n-gram sizes the signals never compute fail fast
+    # with a clear message, not an unresolved-field AnalysisException
+    with pytest.raises(ValueError, match="uncomputed n-gram sizes"):
+        G.gopher_repetition_pass("text", dup_ngram_thresholds={11: 0.1})
+    with pytest.raises(ValueError, match="uncomputed n-gram sizes"):
+        G.gopher_repetition_pass("text", top_ngram_thresholds={5: 0.15})
+    # a partial dict is the enforced set: only the given n are checked
+    partial = gopher_df.select(
+        G.gopher_repetition_pass("text", top_ngram_thresholds={2: 1.0},
+                                 dup_ngram_thresholds={}).alias("p")
+    ).collect()
+    assert all(r["p"] is not None for r in partial)
 
 
 def test_no_shuffle_no_python(gopher_df):
