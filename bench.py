@@ -374,6 +374,31 @@ def main() -> None:
 
     timings["curation_c4_gopher_pii"] = round(_timed(_curation), 3)
 
+    # the audit shape: per-doc per-rule attribution report folded to the
+    # one-row funnel — keeps every input doc (no stage drops), one action.
+    from search_engine_core_spark.operators.curation import (
+        curation_funnel,
+        curation_report,
+    )
+
+    def _curation_funnel():
+        sentenced = docs_tbl.repartition(cores).withColumn(
+            "text",
+            F.concat(
+                F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. "), F.lit(".")
+            ),
+        )
+        rep = curation_report(
+            sentenced,
+            "text",
+            "doc_id",
+            c4_opts={"min_sentences": 1},
+            gopher_opts={"min_words": 10, "min_required_stopwords": 1},
+        )
+        curation_funnel(rep).collect()
+
+    timings["curation_report_funnel"] = round(_timed(_curation_funnel), 3)
+
     # windowed-hash ExactSubstr: prices the token-level explode (one row
     # per window) + groupBy + loser join. window=20 because the synthetic
     # docs run ~45 words; the paper's 50 would yield zero windows here.
