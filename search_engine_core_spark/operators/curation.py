@@ -50,6 +50,8 @@ from search_engine_core_spark.functions.gopher import (
     split_gopher_thresholds,
 )
 from search_engine_core_spark.functions.pii import pii_counts, redact_pii
+from search_engine_core_spark.operators.components import canonical_docs, dedup_groups
+from search_engine_core_spark.operators.dedup import minhash_lsh_pairs
 from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
 
 __all__ = ["curate", "curation_report", "curation_funnel"]
@@ -63,6 +65,20 @@ def _split_opts(c4_opts: dict | None, gopher_opts: dict | None) -> tuple[dict, d
     return dict(c4_opts or {}), q_kw, r_kw
 
 
+def _near_dup_opts(near_dup: dict) -> tuple[dict, str]:
+    """(minhash_lsh_pairs kwargs, components algorithm)."""
+    nd = dict(near_dup)
+    algorithm = nd.pop("algorithm", "label")
+    allowed = {"n_perm", "n_bands", "max_bucket"}
+    unknown = set(nd) - allowed
+    if unknown:
+        raise TypeError(
+            f"curation near_dup: unknown options {sorted(unknown)} "
+            f"(allowed: {sorted(allowed)} + 'algorithm')"
+        )
+    return nd, algorithm
+
+
 def curate(
     df: DataFrame,
     text_col: str = "text",
@@ -70,18 +86,35 @@ def curate(
     *,
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
 ) -> DataFrame:
     """The surviving, PII-redacted corpus: C4 line-clean + page gates →
     corpus-level three-sentence-span dedup → Gopher quality/repetition
-    gates → PII redaction. Row-identical to
-    ``curation_report(...).filter("kept")`` with the redacted text
-    (pinned in tests)."""
+    gates → optional MinHash near-dup removal → PII redaction.
+    Row-identical to ``curation_report(...).filter("kept")`` with the
+    redacted text (pinned in tests).
+
+    ``near_dup`` (a dict, ``{}`` for defaults) switches on near-dup
+    cluster removal: MinHash-LSH candidate pairs → connected components
+    → keep the min-id doc per cluster (``operators.dedup`` +
+    ``operators.components``, the repo's standard keep-the-minimum
+    rule). Keys: ``n_perm``, ``n_bands``, ``max_bucket`` (LSH), and
+    ``algorithm`` ("label" | "star") for the component resolver.
+    Deliberately AFTER the quality gates (the RefinedWeb/Gopher order):
+    the gates are map-side and cheap, dedup is the corpus shuffle —
+    filtering first shrinks the shuffle. LSH false positives merge
+    non-identical docs at the configured band/permutation rate; tune
+    ``n_perm``/``n_bands`` rather than post-verifying pairs."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     out = c4_filter(df, text_col, **c4_o)
     out = dedup_three_sentence_spans(out, text_col, id_col)
     out = gopher_filter(out, text_col, impl=impl, **gq_o, **gr_o)
+    if near_dup is not None:
+        nd_kw, algorithm = _near_dup_opts(near_dup)
+        pairs = minhash_lsh_pairs(out, text_col, id_col, **nd_kw)
+        out = canonical_docs(out, pairs, id_col, algorithm=algorithm)
     return out.withColumn(text_col, redact_pii(text_col, pii_kinds))
 
 
@@ -92,19 +125,22 @@ def curation_report(
     *,
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
 ) -> DataFrame:
     """One row per INPUT doc: ``(id, text_c4, c4_pass, span_changed,
-    text_deduped, gopher_quality_pass, gopher_repetition_pass, kept,
-    pii, text_redacted)``.
+    text_deduped, gopher_quality_pass, gopher_repetition_pass,
+    [near_dup_pass,] kept, pii, text_redacted)``.
 
     Stage semantics mirror :func:`curate` exactly: span dedup runs over
     the C4 survivors only (a C4-rejected doc never claims a span
-    win), Gopher scores the span-deduped text, PII counts reflect the
-    pre-redaction text. Gopher/PII columns are NULL on docs that
-    already failed C4 — they were never scored in the sequential
-    pipeline, and charging them a verdict would misattribute the drop."""
+    win), Gopher scores the span-deduped text, near-dup clusters (when
+    ``near_dup`` is given) form over the gate survivors only, PII
+    counts reflect the pre-redaction text. Downstream columns are NULL
+    on docs an upstream stage already rejected — they were never scored
+    in the sequential pipeline, and charging them a verdict would
+    misattribute the drop."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     line_kw = {}
     if "min_words_per_line" in c4_o:
@@ -147,18 +183,37 @@ def curation_report(
     gr = gopher_repetition_pass(
         F.when(F.col("c4_pass"), F.col("text_deduped")), impl=impl, **gr_o
     )
-    rep = (
-        rep.withColumn("gopher_quality_pass", F.when(F.col("c4_pass"), gq).otherwise(null_b))
-        .withColumn(
-            "gopher_repetition_pass", F.when(F.col("c4_pass"), gr).otherwise(null_b)
-        )
-        .withColumn(
-            "kept",
-            F.col("c4_pass")
-            & F.coalesce("gopher_quality_pass", F.lit(False))
-            & F.coalesce("gopher_repetition_pass", F.lit(False)),
-        )
+    rep = rep.withColumn(
+        "gopher_quality_pass", F.when(F.col("c4_pass"), gq).otherwise(null_b)
+    ).withColumn(
+        "gopher_repetition_pass", F.when(F.col("c4_pass"), gr).otherwise(null_b)
     )
+    gate = (
+        F.col("c4_pass")
+        & F.coalesce("gopher_quality_pass", F.lit(False))
+        & F.coalesce("gopher_repetition_pass", F.lit(False))
+    )
+    if near_dup is not None:
+        nd_kw, algorithm = _near_dup_opts(near_dup)
+        survivors = rep.filter(gate).select(
+            id_col, F.col("text_deduped").alias("text")
+        )
+        pairs = minhash_lsh_pairs(survivors, "text", id_col, **nd_kw)
+        # dedup_groups only lists ids that appear in a pair; everything
+        # else is trivially canonical (coalesce True below)
+        clustered = dedup_groups(pairs, algorithm=algorithm).select(
+            F.col("id").alias(id_col), "is_canonical"
+        )
+        rep = (
+            rep.join(clustered, id_col, "left")
+            .withColumn(
+                "near_dup_pass",
+                F.when(gate, F.coalesce("is_canonical", F.lit(True))).otherwise(null_b),
+            )
+            .drop("is_canonical")
+        )
+        gate = gate & F.coalesce("near_dup_pass", F.lit(False))
+    rep = rep.withColumn("kept", gate)
     return rep.withColumn(
         "pii", F.when(F.col("c4_pass"), pii_counts("text_deduped", pii_kinds))
     ).withColumn(
@@ -171,6 +226,7 @@ def curation_funnel(report: DataFrame) -> DataFrame:
     """One row folding a :func:`curation_report`: ``n_in``, ``n_c4``
     (survived C4), ``n_span_changed``, ``n_gopher_quality``,
     ``n_gopher_repetition`` (survived that gate, among C4 survivors),
+    ``n_near_dup_dropped`` (when the report carries the near-dup stage),
     ``n_kept``, and total PII hits by kind over the kept text's
     pre-redaction form. A single map-side-combinable aggregate."""
     pii_fields = report.schema["pii"].dataType.fieldNames()
@@ -186,6 +242,13 @@ def curation_funnel(report: DataFrame) -> DataFrame:
         ),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
     ]
+    if "near_dup_pass" in report.columns:
+        aggs.insert(
+            5,
+            F.sum((F.col("near_dup_pass") == F.lit(False)).cast("long")).alias(
+                "n_near_dup_dropped"
+            ),
+        )
     for f in pii_fields:
         aggs.append(
             F.sum(F.when(F.col("kept"), F.col(f"pii.{f}")).otherwise(F.lit(0))).alias(

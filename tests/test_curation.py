@@ -146,3 +146,72 @@ def test_funnel_counts(corpus):
 def test_unknown_gopher_option_rejected(corpus):
     with pytest.raises(TypeError, match="unknown thresholds"):
         curate(corpus, gopher_opts={"not_a_rule": 1})
+    with pytest.raises(TypeError, match="unknown options"):
+        curate(corpus, near_dup={"not_an_lsh_knob": 1})
+
+
+# near-identical pair: sentences 2 and 5 each differ by one word, so NO
+# three-sentence span is shared (span dedup leaves both intact) while
+# 3-shingle Jaccard stays high enough for MinHash-LSH to pair them.
+def _near_dup_docs():
+    sents = [
+        "The engine walks the frontier and the ranks follow the scores.",
+        "The postings fold into the segments and the merges stay small.",
+        "The {W} rides along the deltas and the reads keep the order.",
+        "The queries fan over the buckets and the answers come back sorted.",
+        "The lineage pins the builds and the resumes skip the done work.",
+        "The {X} closes the loop and the metrics land in the funnel.",
+    ]
+    mk = lambda w, x: " ".join(s.format(W=w, X=x) for s in sents)
+    return {
+        6: mk("checkpoint", "report"),
+        7: mk("snapshot", "summary"),
+    }
+
+
+NEAR_DUP_OPTS = {"n_perm": 8, "n_bands": 8}
+
+
+@pytest.fixture(scope="module")
+def near_corpus(spark):
+    docs = dict(DOCS)
+    docs.update(_near_dup_docs())
+    return spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+
+
+def test_near_dup_stage(near_corpus):
+    kept = {
+        r["doc_id"]
+        for r in curate(
+            near_corpus, "text", "doc_id",
+            c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS, near_dup=NEAR_DUP_OPTS,
+        ).collect()
+    }
+    # the near-dup pair collapses to its min id; everything else as before
+    assert kept == {0, 1, 4, 6}
+
+    rep = curation_report(
+        near_corpus, "text", "doc_id",
+        c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS, near_dup=NEAR_DUP_OPTS,
+    )
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # report parity with curate under the near-dup stage
+    assert {i for i, r in rows.items() if r["kept"]} == kept
+    # attribution: 7 dropped BY the near-dup stage (gates all green)
+    assert rows[7]["gopher_quality_pass"] and rows[7]["gopher_repetition_pass"]
+    assert rows[7]["near_dup_pass"] is False and rows[6]["near_dup_pass"] is True
+    # neither lost a span to the other (no shared three-sentence span)
+    assert not rows[6]["span_changed"] and not rows[7]["span_changed"]
+    # upstream rejects get NULL near-dup verdicts, not False
+    assert rows[2]["near_dup_pass"] is None
+
+    row = curation_funnel(rep).collect()[0].asDict()
+    assert row["n_near_dup_dropped"] == 1
+    assert row["n_kept"] == 4
+
+
+def test_funnel_has_no_near_dup_column_without_stage(corpus):
+    rep = curation_report(corpus, c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS)
+    row = curation_funnel(rep).collect()[0].asDict()
+    assert "n_near_dup_dropped" not in row
+    assert "near_dup_pass" not in rep.columns
