@@ -357,20 +357,21 @@ def main() -> None:
     # repartition first: the sf table is ONE parquet row-group (one input
     # split -> one task for the whole otherwise-map-side pipeline); at
     # real scale the scan has thousands of splits, so model that here.
-    def _curation():
-        sentenced = docs_tbl.repartition(cores).withColumn(
+    def _sentenced():
+        return docs_tbl.repartition(cores).withColumn(
             "text",
             F.concat(
                 F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. "), F.lit(".")
             ),
         )
-        curate(
-            sentenced,
-            "text",
-            "doc_id",
-            c4_opts={"min_sentences": 1},
-            gopher_opts={"min_words": 10, "min_required_stopwords": 1},
-        ).count()
+
+    _curation_opts = dict(
+        c4_opts={"min_sentences": 1},
+        gopher_opts={"min_words": 10, "min_required_stopwords": 1},
+    )
+
+    def _curation():
+        curate(_sentenced(), "text", "doc_id", **_curation_opts).count()
 
     timings["curation_c4_gopher_pii"] = round(_timed(_curation), 3)
 
@@ -382,19 +383,7 @@ def main() -> None:
     )
 
     def _curation_funnel():
-        sentenced = docs_tbl.repartition(cores).withColumn(
-            "text",
-            F.concat(
-                F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1. "), F.lit(".")
-            ),
-        )
-        rep = curation_report(
-            sentenced,
-            "text",
-            "doc_id",
-            c4_opts={"min_sentences": 1},
-            gopher_opts={"min_words": 10, "min_required_stopwords": 1},
-        )
+        rep = curation_report(_sentenced(), "text", "doc_id", **_curation_opts)
         curation_funnel(rep).collect()
 
     timings["curation_report_funnel"] = round(_timed(_curation_funnel), 3)

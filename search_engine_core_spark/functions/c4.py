@@ -113,9 +113,13 @@ def c4_doc_pass(
         # escape each word: LDNOOBW-style lists carry regex metachars
         # ("c++", "a.s.s") that would otherwise break the Java pattern
         # or match any character; re.escape output is Java-compatible
-        # (backslash-escaped ASCII punctuation).
+        # (backslash-escaped ASCII punctuation). Anchor with (?<!\w)/
+        # (?!\w) rather than \b: a \b after a trailing non-word char
+        # ("c++", "a$$") demands a following WORD char, so such entries
+        # could never match — the lookarounds are \b-equivalent for
+        # plain words and actually enforceable for punctuated ones.
         alternation = "|".join(re.escape(w) for w in sorted(words))
-        bad = t.rlike(r"(?i)\b(?:" + alternation + r")\b")
+        bad = t.rlike(r"(?i)(?<!\w)(?:" + alternation + r")(?!\w)")
     return (
         (F.size(sentence_split(t)) >= F.lit(min_sentences))
         & ~bad

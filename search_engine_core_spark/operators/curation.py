@@ -79,6 +79,23 @@ def _near_dup_opts(near_dup: dict) -> tuple[dict, str]:
     return nd, algorithm
 
 
+def _require_numeric_id(df: DataFrame, id_col: str) -> None:
+    """Fail FAST (schema check, before any job runs) when near-dup is
+    requested over a non-numeric id: the component resolver casts ids to
+    long (``components.py``), so a string id (URL, content hash) would
+    run the whole gate pipeline and then die mid-job with a cast error —
+    or, with ANSI off, cast to NULL and silently keep every duplicate."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"curation near_dup: id column {id_col!r} is {dt.simpleString()}, "
+            "but near-dup component resolution requires an integral id — "
+            "derive one first (e.g. withColumn(id, F.xxhash64(url)))"
+        )
+
+
 def curate(
     df: DataFrame,
     text_col: str = "text",
@@ -106,13 +123,24 @@ def curate(
     the gates are map-side and cheap, dedup is the corpus shuffle —
     filtering first shrinks the shuffle. LSH false positives merge
     non-identical docs at the configured band/permutation rate; tune
-    ``n_perm``/``n_bands`` rather than post-verifying pairs."""
+    ``n_perm``/``n_bands`` rather than post-verifying pairs. Setting
+    ``near_dup`` makes the call EAGER: the iterative component resolver
+    checkpoints per round, and the survivor frame is localCheckpointed
+    so the gate pipeline runs once, not once per plan branch. Requires
+    an integral id column (checked up front)."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     out = c4_filter(df, text_col, **c4_o)
     out = dedup_three_sentence_spans(out, text_col, id_col)
     out = gopher_filter(out, text_col, impl=impl, **gq_o, **gr_o)
     if near_dup is not None:
         nd_kw, algorithm = _near_dup_opts(near_dup)
+        _require_numeric_id(df, id_col)
+        # the component resolver checkpoints eagerly per round, which
+        # would execute the gate pipeline NOW for the pairs branch and
+        # AGAIN at the caller's action for the join-back — checkpoint the
+        # survivor frame once so both branches read it (this makes
+        # curate() eager when near_dup is set; documented trade).
+        out = out.localCheckpoint(eager=True)
         pairs = minhash_lsh_pairs(out, text_col, id_col, **nd_kw)
         out = canonical_docs(out, pairs, id_col, algorithm=algorithm)
     return out.withColumn(text_col, redact_pii(text_col, pii_kinds))
@@ -195,6 +223,12 @@ def curation_report(
     )
     if near_dup is not None:
         nd_kw, algorithm = _near_dup_opts(near_dup)
+        _require_numeric_id(df, id_col)
+        # checkpoint the report spine once: the cluster branch (below)
+        # executes eagerly inside the component resolver, and the final
+        # action would otherwise recompute the span-dedup shuffle and
+        # the Arrow repetition batch a second time.
+        rep = rep.localCheckpoint(eager=True)
         survivors = rep.filter(gate).select(
             id_col, F.col("text_deduped").alias("text")
         )
@@ -243,11 +277,15 @@ def curation_funnel(report: DataFrame) -> DataFrame:
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
     ]
     if "near_dup_pass" in report.columns:
+        # coalesce BEFORE the cast: an all-NULL column (every doc failed
+        # upstream) must fold to 0 like the other counters, not NULL
         aggs.insert(
             5,
-            F.sum((F.col("near_dup_pass") == F.lit(False)).cast("long")).alias(
-                "n_near_dup_dropped"
-            ),
+            F.sum(
+                F.coalesce(F.col("near_dup_pass") == F.lit(False), F.lit(False)).cast(
+                    "long"
+                )
+            ).alias("n_near_dup_dropped"),
         )
     for f in pii_fields:
         aggs.append(

@@ -48,7 +48,9 @@ def twin_clean_lines(t: str | None, min_words: int = 3) -> str:
 def twin_doc_pass(t: str | None, min_sentences: int = 5, badwords=None) -> bool:
     t = t or ""
     words = C4.C4_DEFAULT_BADWORDS if badwords is None else badwords
-    if words and re.search(r"(?i)\b(?:" + "|".join(sorted(words)) + r")\b", t):
+    if words and re.search(
+        r"(?i)(?<!\w)(?:" + "|".join(re.escape(w) for w in sorted(words)) + r")(?!\w)", t
+    ):
         return False
     return (
         len(twin_sentences(t)) >= min_sentences
@@ -339,10 +341,10 @@ def test_c4_badwords_with_regex_metachars(c4_df, spark):
         r["doc_id"]
         for r in C4.c4_filter(df, "text", badwords=["c++", "a.s.s"]).collect()
     }
-    # 'c++' pages dropped... but '\bc\+\+' needs a word boundary after
-    # '+', which never holds before a space — so the doc survives; the
-    # point of this test is no crash and no any-char false positive.
-    assert 1 in kept
+    # lookaround anchoring makes punctuated entries enforceable: the
+    # 'c++' page is dropped (a \b after '+' could never match), the
+    # clean page survives
+    assert kept == {1}
     # 'a.s.s' must NOT match 'apsqs' etc. via bare dots
     df2 = spark.createDataFrame(
         [(0, "The aXsXs word sits here. More text follows. And more. "

@@ -210,6 +210,34 @@ def test_near_dup_stage(near_corpus):
     assert row["n_kept"] == 4
 
 
+def test_near_dup_requires_numeric_id(spark):
+    """String ids fail FAST with guidance (schema check, before any job):
+    the component resolver casts ids to long, so without the guard the
+    whole gate pipeline would run and then die mid-job (ANSI) or
+    silently keep every duplicate (non-ANSI NULL casts)."""
+    df = spark.createDataFrame(
+        [("u1", "One two. Three four. Five six.")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        curate(df, near_dup={})
+    with pytest.raises(TypeError, match="integral id"):
+        curation_report(df, near_dup={})
+
+
+def test_funnel_near_dup_zero_not_null(spark):
+    """An all-reject batch folds n_near_dup_dropped to 0 like every
+    other counter, not NULL (the near_dup_pass column is all-NULL)."""
+    df = spark.createDataFrame(
+        [(1, "no terminal punctuation here"), (2, "another heading")],
+        "doc_id int, text string",
+    )
+    rep = curation_report(df, c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS,
+                          near_dup=NEAR_DUP_OPTS)
+    row = curation_funnel(rep).collect()[0].asDict()
+    assert row["n_kept"] == 0
+    assert row["n_near_dup_dropped"] == 0
+
+
 def test_funnel_has_no_near_dup_column_without_stage(corpus):
     rep = curation_report(corpus, c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS)
     row = curation_funnel(rep).collect()[0].asDict()
