@@ -12,6 +12,7 @@ from search_engine_core_spark.functions.gopher import (
     gopher_quality_signals,
     gopher_repetition_pass,
     gopher_repetition_signals,
+    split_gopher_thresholds,
 )
 from search_engine_core_spark.functions.pii import (
     pii_counts,
@@ -39,6 +40,7 @@ __all__ = [
     "redact_pii",
     "redact_pii_df",
     "sentence_split",
+    "split_gopher_thresholds",
     "tokenize_expr",
     "tokenize_pandas_udf",
     "tokenize_py",

@@ -1,5 +1,6 @@
-"""End-to-end corpus curation: C4 → span dedup → Gopher → PII, with a
-per-document, per-rule attribution report and a one-row funnel.
+"""End-to-end corpus curation: C4 → span dedup → Gopher → optional
+MinHash near-dup cluster removal → PII, with a per-document, per-rule
+attribution report and a one-row funnel.
 
 Composes the public web-corpus recipe (Raffel et al. 2020 §2.2 cleaning,
 Rae et al. 2021 Appendix-A quality/repetition gates, regex PII
