@@ -53,7 +53,10 @@ from search_engine_core_spark.functions.gopher import (
 from search_engine_core_spark.functions.pii import pii_counts, redact_pii
 from search_engine_core_spark.operators.components import canonical_docs, dedup_groups
 from search_engine_core_spark.operators.dedup import minhash_lsh_pairs
-from search_engine_core_spark.operators.spans import dedup_three_sentence_spans
+from search_engine_core_spark.operators.spans import (
+    dedup_three_sentence_spans,
+    dedup_token_windows,
+)
 
 __all__ = ["curate", "curation_report", "curation_funnel"]
 
@@ -104,15 +107,23 @@ def curate(
     *,
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    token_windows: int | None = None,
     near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
 ) -> DataFrame:
     """The surviving, PII-redacted corpus: C4 line-clean + page gates →
-    corpus-level three-sentence-span dedup → Gopher quality/repetition
-    gates → optional MinHash near-dup removal → PII redaction.
+    corpus-level three-sentence-span dedup → optional token-window
+    exact-substring removal → Gopher quality/repetition gates →
+    optional MinHash near-dup removal → PII redaction.
     Row-identical to ``curation_report(...).filter("kept")`` with the
     redacted text (pinned in tests).
+
+    ``token_windows`` (an int, e.g. the Lee-et-al 50) switches on the
+    second rewrite stage, ``operators.spans.dedup_token_windows`` —
+    RefinedWeb runs exactly this pairing (fuzzy dedup + exact-substring
+    removal). Rewrites come BEFORE the Gopher gates so quality scores
+    the final text.
 
     ``near_dup`` (a dict, ``{}`` for defaults) switches on near-dup
     cluster removal: MinHash-LSH candidate pairs → connected components
@@ -132,6 +143,8 @@ def curate(
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     out = c4_filter(df, text_col, **c4_o)
     out = dedup_three_sentence_spans(out, text_col, id_col)
+    if token_windows is not None:
+        out = dedup_token_windows(out, text_col, id_col, window=token_windows)
     out = gopher_filter(out, text_col, impl=impl, **gq_o, **gr_o)
     if near_dup is not None:
         nd_kw, algorithm = _near_dup_opts(near_dup)
@@ -154,22 +167,25 @@ def curation_report(
     *,
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    token_windows: int | None = None,
     near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
 ) -> DataFrame:
     """One row per INPUT doc: ``(id, text_c4, c4_pass, span_changed,
-    text_deduped, gopher_quality_pass, gopher_repetition_pass,
-    [near_dup_pass,] kept, pii, text_redacted)``.
+    [token_windows_changed,] text_deduped, gopher_quality_pass,
+    gopher_repetition_pass, [near_dup_pass,] kept, pii,
+    text_redacted)``.
 
-    Stage semantics mirror :func:`curate` exactly: span dedup runs over
-    the C4 survivors only (a C4-rejected doc never claims a span
-    win), Gopher scores the span-deduped text, near-dup clusters (when
-    ``near_dup`` is given) form over the gate survivors only, PII
-    counts reflect the pre-redaction text. Downstream columns are NULL
-    on docs an upstream stage already rejected — they were never scored
-    in the sequential pipeline, and charging them a verdict would
-    misattribute the drop."""
+    Stage semantics mirror :func:`curate` exactly: the rewrite stages
+    (span dedup, then token windows when ``token_windows`` is given)
+    run over the C4 survivors only (a C4-rejected doc never claims a
+    span win), Gopher scores the final rewritten text, near-dup
+    clusters (when ``near_dup`` is given) form over the gate survivors
+    only, PII counts reflect the pre-redaction text. Downstream columns
+    are NULL on docs an upstream stage already rejected — they were
+    never scored in the sequential pipeline, and charging them a
+    verdict would misattribute the drop."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     line_kw = {}
     if "min_words_per_line" in c4_o:
@@ -180,27 +196,43 @@ def curation_report(
         c4_clean_lines(text_col, **line_kw).alias("text_c4"),
     ).withColumn("c4_pass", c4_doc_pass("text_c4", **c4_o))
 
-    # span dedup over C4 survivors only; join its rewrites back. The
-    # rewritten side carries every survivor, but only CHANGED texts need
+    # rewrite stages over C4 survivors only; join the rewrites back. The
+    # staged side carries every survivor, but only CHANGED texts need
     # to travel — project the diff to keep the joined relation small.
     deduped = dedup_three_sentence_spans(
         spine.filter("c4_pass").select(id_col, F.col("text_c4").alias("text")),
         "text",
         id_col,
     )
+    staged = deduped.select(id_col, F.col("text").alias("_t1"))
+    if token_windows is not None:
+        stage2 = dedup_token_windows(
+            deduped, "text", id_col, window=token_windows
+        ).select(id_col, F.col("text").alias("_t2"))
+        staged = staged.join(stage2, id_col)
+    else:
+        staged = staged.withColumn("_t2", F.col("_t1"))
     rewrites = (
-        deduped.join(
-            spine.select(id_col, "text_c4"), id_col
+        staged.join(spine.select(id_col, "text_c4"), id_col)
+        .filter((F.col("_t1") != F.col("text_c4")) | (F.col("_t2") != F.col("_t1")))
+        .select(
+            id_col,
+            (F.col("_t1") != F.col("text_c4")).alias("_span_ch"),
+            (F.col("_t2") != F.col("_t1")).alias("_tok_ch"),
+            F.col("_t2").alias("_rewrite"),
         )
-        .filter(F.col("text") != F.col("text_c4"))
-        .select(id_col, F.col("text").alias("_span_rewrite"))
     )
     rep = (
         spine.join(rewrites, id_col, "left")
-        .withColumn("span_changed", F.col("_span_rewrite").isNotNull())
-        .withColumn("text_deduped", F.coalesce("_span_rewrite", "text_c4"))
-        .drop("_span_rewrite")
+        .withColumn("span_changed", F.coalesce("_span_ch", F.lit(False)))
+        .withColumn("text_deduped", F.coalesce("_rewrite", "text_c4"))
+        .drop("_span_ch", "_rewrite")
     )
+    if token_windows is not None:
+        rep = rep.withColumn(
+            "token_windows_changed", F.coalesce("_tok_ch", F.lit(False))
+        )
+    rep = rep.drop("_tok_ch")
 
     null_b = F.lit(None).cast("boolean")
     gq = gopher_quality_pass("text_deduped", **gq_o)
@@ -259,7 +291,8 @@ def curation_report(
 
 def curation_funnel(report: DataFrame) -> DataFrame:
     """One row folding a :func:`curation_report`: ``n_in``, ``n_c4``
-    (survived C4), ``n_span_changed``, ``n_gopher_quality``,
+    (survived C4), ``n_span_changed``, ``n_token_windows_changed`` (when
+    the report carries that rewrite stage), ``n_gopher_quality``,
     ``n_gopher_repetition`` (survived that gate, among C4 survivors),
     ``n_near_dup_dropped`` (when the report carries the near-dup stage),
     ``n_kept``, and total PII hits by kind over the kept text's
@@ -269,25 +302,32 @@ def curation_funnel(report: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_in"),
         F.sum(F.col("c4_pass").cast("long")).alias("n_c4"),
         F.sum(F.col("span_changed").cast("long")).alias("n_span_changed"),
+    ]
+    if "token_windows_changed" in report.columns:
+        aggs.append(
+            F.sum(F.col("token_windows_changed").cast("long")).alias(
+                "n_token_windows_changed"
+            )
+        )
+    aggs += [
         F.sum(F.coalesce("gopher_quality_pass", F.lit(False)).cast("long")).alias(
             "n_gopher_quality"
         ),
         F.sum(F.coalesce("gopher_repetition_pass", F.lit(False)).cast("long")).alias(
             "n_gopher_repetition"
         ),
-        F.sum(F.col("kept").cast("long")).alias("n_kept"),
     ]
     if "near_dup_pass" in report.columns:
         # coalesce BEFORE the cast: an all-NULL column (every doc failed
         # upstream) must fold to 0 like the other counters, not NULL
-        aggs.insert(
-            5,
+        aggs.append(
             F.sum(
                 F.coalesce(F.col("near_dup_pass") == F.lit(False), F.lit(False)).cast(
                     "long"
                 )
-            ).alias("n_near_dup_dropped"),
+            ).alias("n_near_dup_dropped")
         )
+    aggs.append(F.sum(F.col("kept").cast("long")).alias("n_kept"))
     for f in pii_fields:
         aggs.append(
             F.sum(F.when(F.col("kept"), F.col(f"pii.{f}")).otherwise(F.lit(0))).alias(

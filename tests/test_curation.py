@@ -210,6 +210,65 @@ def test_near_dup_stage(near_corpus):
     assert row["n_kept"] == 4
 
 
+# docs sharing ONE identical 23-token sentence (window=20 tiles it) but
+# no three-sentence span — only the token-window stage can remove it
+def _token_window_docs():
+    shared = (
+        "The shared boilerplate sentence carries the exact same twenty "
+        "eight tokens and the run repeats across the pair of documents in full here."
+    )
+    a = (
+        "The first page opens with the crawl and the queue fills early. "
+        "The fetcher paces the hosts and the budget holds through the day. "
+        + shared
+        + " The index folds the pages and the segments land in order. "
+        "The final line wraps the page and the tests stay green."
+    )
+    b = (
+        "The second page starts with the parse and the links spill out. "
+        "The ranker weighs the fields and the scores settle down fast. "
+        + shared
+        + " The merger walks the deltas and the compaction stays small. "
+        "The closing words finish the doc and the suite stays calm."
+    )
+    return {8: a, 9: b}
+
+
+def test_token_window_stage(spark):
+    docs = dict(DOCS)
+    docs.update(_token_window_docs())
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    kept_rows = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            df, "text", "doc_id",
+            c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS, token_windows=20,
+        ).collect()
+    }
+    # both token-window docs survive the gates; only the higher id lost
+    # the shared run (kept at its global min-(id, idx) occurrence)
+    assert {8, 9} <= set(kept_rows)
+    assert "boilerplate" in kept_rows[8]
+    assert "boilerplate" not in kept_rows[9]
+
+    rep = curation_report(
+        df, "text", "doc_id",
+        c4_opts=C4_OPTS, gopher_opts=GOPHER_OPTS, token_windows=20,
+    )
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # report parity with curate
+    assert {i: r["text_redacted"] for i, r in rows.items() if r["kept"]} == kept_rows
+    # attribution: token stage (not span stage) rewrote doc 9
+    assert rows[9]["token_windows_changed"] and not rows[9]["span_changed"]
+    assert not rows[8]["token_windows_changed"]
+    # the span-stage doc (1) is attributed to spans, not token windows
+    assert rows[1]["span_changed"] and not rows[1]["token_windows_changed"]
+
+    row = curation_funnel(rep).collect()[0].asDict()
+    assert row["n_token_windows_changed"] == 1
+    assert row["n_span_changed"] == 1
+
+
 def test_near_dup_requires_numeric_id(spark):
     """String ids fail FAST with guidance (schema check, before any job):
     the component resolver casts ids to long, so without the guard the
