@@ -400,6 +400,28 @@ def main() -> None:
 
     timings["dedup_token_windows"] = round(_timed(_token_dedup), 3)
 
+    # -- code-corpus curation: StarCoder gates + secret redaction --------
+    # runs on the input_hint corpus itself (repo/path/commit/lang/content)
+    # — every gate is a pure column expression, so this prices ONE
+    # map-side scan of the code table; doc_id via xxhash64(natural key).
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.operators.curation import curate_code
+
+    def _code_curation():
+        # the synthetic corpus has no comment lines, so the comment-ratio
+        # floor would trivially empty it — disable that one gate (same
+        # policy as the web-text line loosening C4/Gopher above); every
+        # other gate evaluates its full expression per row.
+        curate_code(
+            with_doc_columns(corpus).select("doc_id", "lang", "content"),
+            "content",
+            "doc_id",
+            "lang",
+            code_opts={"min_comment_frac": None},
+        ).count()
+
+    timings["curate_code_filter"] = round(_timed(_code_curation), 3)
+
     total = time.monotonic() - t_suite
     shutil.rmtree(work, ignore_errors=True)
     print(

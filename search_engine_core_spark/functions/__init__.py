@@ -6,6 +6,13 @@ from search_engine_core_spark.functions.c4 import (
     c4_filter,
     sentence_split,
 )
+from search_engine_core_spark.functions.code_quality import (
+    code_filter,
+    code_quality_pass,
+    code_quality_signals,
+    redact_secrets,
+    secret_counts,
+)
 from search_engine_core_spark.functions.gopher import (
     gopher_filter,
     gopher_quality_pass,
@@ -31,6 +38,9 @@ __all__ = [
     "c4_clean_lines",
     "c4_doc_pass",
     "c4_filter",
+    "code_filter",
+    "code_quality_pass",
+    "code_quality_signals",
     "gopher_filter",
     "gopher_quality_pass",
     "gopher_quality_signals",
@@ -39,6 +49,8 @@ __all__ = [
     "pii_counts",
     "redact_pii",
     "redact_pii_df",
+    "redact_secrets",
+    "secret_counts",
     "sentence_split",
     "split_gopher_thresholds",
     "tokenize_expr",

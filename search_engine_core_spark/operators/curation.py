@@ -58,7 +58,7 @@ from search_engine_core_spark.operators.spans import (
     dedup_token_windows,
 )
 
-__all__ = ["curate", "curation_report", "curation_funnel"]
+__all__ = ["curate", "curate_code", "curation_report", "curation_funnel"]
 
 
 def _split_opts(c4_opts: dict | None, gopher_opts: dict | None) -> tuple[dict, dict, dict]:
@@ -158,6 +158,48 @@ def curate(
         pairs = minhash_lsh_pairs(out, text_col, id_col, **nd_kw)
         out = canonical_docs(out, pairs, id_col, algorithm=algorithm)
     return out.withColumn(text_col, redact_pii(text_col, pii_kinds))
+
+
+def curate_code(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    *,
+    code_opts: dict | None = None,
+    token_windows: int | None = None,
+    near_dup: dict | None = None,
+) -> DataFrame:
+    """The code-corpus sibling of :func:`curate` (BASELINE.json
+    input_hint: the corpus is source code, where C4's
+    terminal-punctuation line rules and Gopher's English-stopword floor
+    would gut every file): StarCoder-recipe quality gates
+    (``functions.code_quality.code_filter`` — line length, alphanumeric
+    fraction, autogenerated/encoded-data detection, comment-ratio
+    bounds) → optional token-window exact-substring removal → optional
+    MinHash near-dup cluster removal → secret redaction. Stage order
+    mirrors :func:`curate`: the map-side gates run first to shrink the
+    dedup shuffles, rewrites precede near-dup so clusters form over
+    final text, redaction last so dedup sees the original bytes.
+    ``near_dup`` takes the same option dict as :func:`curate` (and makes
+    the call eager the same way, via one ``localCheckpoint`` feeding
+    both the pairs branch and the join-back); requires an integral id.
+    """
+    from search_engine_core_spark.functions.code_quality import (
+        code_filter,
+        redact_secrets,
+    )
+
+    out = code_filter(df, content_col, lang_col, **(code_opts or {}))
+    if token_windows is not None:
+        out = dedup_token_windows(out, content_col, id_col, window=token_windows)
+    if near_dup is not None:
+        nd_kw, algorithm = _near_dup_opts(near_dup)
+        _require_numeric_id(df, id_col)
+        out = out.localCheckpoint(eager=True)
+        pairs = minhash_lsh_pairs(out, content_col, id_col, **nd_kw)
+        out = canonical_docs(out, pairs, id_col, algorithm=algorithm)
+    return out.withColumn(content_col, redact_secrets(content_col))
 
 
 def curation_report(
