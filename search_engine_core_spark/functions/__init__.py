@@ -7,9 +7,12 @@ from search_engine_core_spark.functions.c4 import (
     sentence_split,
 )
 from search_engine_core_spark.functions.code_quality import (
+    attach_repo_license,
     code_filter,
     code_quality_pass,
     code_quality_signals,
+    detect_license,
+    license_filter,
     redact_secrets,
     secret_counts,
 )
@@ -35,17 +38,20 @@ from search_engine_core_spark.functions.tokenizer import (
 
 __all__ = [
     "TOKEN_SPLIT_RE",
+    "attach_repo_license",
     "c4_clean_lines",
     "c4_doc_pass",
     "c4_filter",
     "code_filter",
     "code_quality_pass",
     "code_quality_signals",
+    "detect_license",
     "gopher_filter",
     "gopher_quality_pass",
     "gopher_quality_signals",
     "gopher_repetition_pass",
     "gopher_repetition_signals",
+    "license_filter",
     "pii_counts",
     "redact_pii",
     "redact_pii_df",
