@@ -402,8 +402,9 @@ def main() -> None:
 
     # -- code-corpus curation: StarCoder gates + secret redaction --------
     # runs on the input_hint corpus itself (repo/path/commit/lang/content)
-    # — every gate is a pure column expression, so this prices ONE
-    # map-side scan of the code table; doc_id via xxhash64(natural key).
+    # — ONE map-side scan of the code table: the default Arrow-batched
+    # signal struct (14x the interpreted-expression twin, BENCH A/B) +
+    # JVM-side secret redaction; doc_id via xxhash64(natural key).
     from search_engine_core_spark.corpus import with_doc_columns
     from search_engine_core_spark.operators.curation import curate_code
 
