@@ -216,6 +216,10 @@ def main() -> None:
         spark, index_dir, n_buckets=8,
         hot_df_threshold=max(1000, n_docs // 10), n_shards=cores,
     )
+    # retain=True only swaps the run's tree DELETE for a rename into
+    # _retired/ (and the forced prune-off is a no-op here — no segments
+    # exist above the run), so the timed merge cost is unchanged in kind;
+    # it is what makes the snapshot-restore line below possible
     timings["lsm_merge_segments"] = round(
         _timed(
             lambda: merge_segments(
@@ -225,6 +229,7 @@ def main() -> None:
                 n_buckets=8,
                 hot_df_threshold=max(1000, n_docs // 10),
                 n_shards=cores,
+                retain=True,
             )
         ),
         3,
@@ -234,6 +239,23 @@ def main() -> None:
         _timed(lambda: meng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
     )
     timings["lsm_query_merged"] = round(dt, 3)
+    # snapshot time travel (r5): restore "the index as of commit 0" —
+    # post-merge that cover comes from the retired pre-merge tree — and
+    # query it. The restore is metadata-only (hardlinks, zero Spark
+    # jobs), so its cost should sit orders of magnitude under any
+    # compaction line regardless of index size; the query line shows the
+    # restored dir is a first-class index, not a degraded replica.
+    from search_engine_core_spark.streaming.snapshots import restore_snapshot
+
+    snap_out = f"{work}/snap0"
+    timings["lsm_snapshot_restore"] = round(
+        _timed(lambda: restore_snapshot(index_dir, 0, snap_out)), 3
+    )
+    reng = DeltaSearchEngine(spark, snap_out, n_buckets=8)
+    dt = min(
+        _timed(lambda: reng.search("spark merge", 10).collect()) for _ in range(N_RUNS)
+    )
+    timings["lsm_query_restored"] = round(dt, 3)
     timings["lsm_compact"] = round(
         _timed(
             lambda: compact_deltas(

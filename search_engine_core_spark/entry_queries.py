@@ -258,7 +258,7 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
     idx_dir = str(Path(root) / ((Path(sf_dir).name or "sf") + "_lsm"))
     fp_file = Path(idx_dir) / "_corpus_fp.json"
     fp = _corpus_fingerprint(sf_dir)
-    _LAYOUT = 2  # bump when the tier construction below changes shape
+    _LAYOUT = 3  # bump when the tier construction below changes shape
     fresh = False
     if fp_file.exists():
         try:
@@ -292,14 +292,79 @@ def _lsm_engine(spark: SparkSession, sf_dir: str):
         ).withColumn("content_sha256", F.sha2("content", 256))
         append_batch(stale0.unionByName(corpus.filter(h == 1)), 0)
         minor_compact(spark, idx_dir, n_buckets=8)          # -> seg 0
+        # time-travel capture (r5): the top-k for a stale-only query AS OF
+        # commit 0 — the stale bucket-0 versions are CURRENT here, so only
+        # a faithful restore of this commit can reproduce these ranks
+        snap0 = [
+            (r["doc_id"], r["score"])
+            for r in DeltaSearchEngine(spark, idx_dir, n_buckets=8)
+            .search(_SNAP_QUERY, 10)
+            .collect()
+        ]
         append_batch(corpus.filter(h == 2), 1)
         minor_compact(spark, idx_dir, n_buckets=8)          # -> seg 1
-        merge_segments(spark, idx_dir, [0, 1], n_buckets=8)  # -> merged seg 1
+        # retain=True: the merge moves seg 0/1's trees to _retired/gen=1
+        # instead of deleting them (no later segments exist, so the
+        # forced prune-off is a no-op and the merged tree is unchanged)
+        merge_segments(spark, idx_dir, [0, 1], n_buckets=8,
+                       retain=True)                          # -> merged seg 1
+        _assert_snapshot_restore(spark, idx_dir, snap0)
         append_batch(corpus.filter(h == 0), 2)  # true versions supersede
         fp_file.write_text(json.dumps({"fp": fp, "layout": _LAYOUT}))
     eng = DeltaSearchEngine(spark, idx_dir, n_buckets=8)
     _LSM_ENGINES[sf_dir] = eng
     return eng
+
+
+# stale bucket-0 docs are prefixed "stalemarker xyzzyterm ..." — a query
+# on those terms resolves ONLY against the stale versions, so its ranks
+# are a fingerprint of the index state AS OF commit 0
+_SNAP_QUERY = "stalemarker xyzzyterm"
+
+
+def _assert_snapshot_restore(
+    spark: SparkSession, idx_dir: str, snap0: list[tuple]
+) -> None:
+    """Driver-visible time travel (r5, ``streaming/snapshots.py``): after
+    the size-tiered merge folded segments [0, 1] into one tree, restore
+    "the index as of commit 0". The merged tree STRADDLES that snapshot
+    (it covers commits {0, 1}), so the cover MUST come from the retired
+    pre-merge tree under ``_retired/gen=…`` — asserted explicitly — and
+    the restored engine must reproduce the top-k captured when commit 0
+    was live, rank- and score-identical. A restore that resolves the
+    wrong tree, loses retired bytes, or mis-links surfaces as a red
+    driver row, not a pytest-only fact. Runs once per cached layout
+    build; the restore itself is metadata-only (hardlinks)."""
+    import tempfile
+
+    from search_engine_core_spark.streaming.incremental import DeltaSearchEngine
+    from search_engine_core_spark.streaming.snapshots import (
+        resolve_cover,
+        restore_snapshot,
+    )
+
+    cover = resolve_cover(idx_dir, 0)
+    assert any(loc.startswith("gen=") for loc, *_ in cover), (
+        f"snapshot 0 cover should use a retired tree, got {cover}"
+    )
+    out = tempfile.mkdtemp(prefix="secs_snap0_")
+    try:
+        restore_snapshot(idx_dir, 0, out)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in DeltaSearchEngine(spark, out, n_buckets=8)
+            .search(_SNAP_QUERY, 10)
+            .collect()
+        ]
+        assert [g[0] for g in got] == [s[0] for s in snap0], (
+            f"snapshot-restore rank mismatch: {got} vs {snap0}"
+        )
+        for (_, gs), (_, ss) in zip(got, snap0):
+            assert math.isclose(gs, ss, rel_tol=1e-9), (
+                f"snapshot-restore score drift: {gs} vs {ss}"
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _assert_lsm_identity(

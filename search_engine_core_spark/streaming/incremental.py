@@ -290,6 +290,11 @@ def minor_compact(
         [("minor_compact", new_seg, "completed", 0, 0, 0,
           int((time.monotonic() - t0) * 1000))]
     )
+    # each minor compaction is a snapshot COMMIT (time-travel unit)
+    from search_engine_core_spark.streaming.snapshots import append_event
+
+    append_event(index_dir, {"type": "commit", "seg": new_seg,
+                             "ts": time.time()})
     return new_seg
 
 
@@ -316,6 +321,7 @@ def merge_segments(
     hot_df_threshold: int = 100_000,
     n_shards: int = 8,
     prune_superseded: bool = True,
+    retain: bool = False,
 ) -> int | None:
     """Fold a CONTIGUOUS run of immutable segments into ONE new segment —
     the middle tier of the size-tiered LSM (RocksDB/Lucene shape): minor
@@ -340,6 +346,16 @@ def merge_segments(
     The swap (write-aside, move run dirs to a trash staging, rename the
     merged trees into ``seg=<max>``) is the local-FS stand-in for an
     Iceberg REPLACE commit, same discipline as every other write site.
+
+    With ``retain=True`` the run's pre-merge trees move to
+    ``segments/_retired/gen=<G>/`` instead of being deleted and the
+    merge is logged in the snapshot manifest, keeping every minor-compact
+    commit time-travelable (:mod:`.snapshots`); retention forces
+    ``prune_superseded`` off so the merged tree stays a faithful union of
+    its run (pruning would drop doc versions that older snapshots still
+    need). Unretained merges still log the event — with the pruned-
+    against segment list, so restore knows which snapshots the merged
+    tree can faithfully serve.
 
     Reference analog: RediSearch continuously absorbs updates and
     garbage-collects superseded entries while serving
@@ -403,7 +419,8 @@ def merge_segments(
         )
     else:
         latest = post_latest
-    if prune_superseded:
+    pruned_against: list[int] = []
+    if prune_superseded and not retain:
         later = [int(s) for s in existing if s > run[-1]]
         if later and os.path.isdir(docs_root):
             sup = (
@@ -414,6 +431,7 @@ def merge_segments(
                 .distinct()
             )
             latest = latest.join(sup, "doc_id", "left_anti")
+            pruned_against = later
     latest = latest.localCheckpoint(eager=True)
 
     kept = decoded.join(latest, ["doc_id", "seg"], "left_semi").drop("seg")
@@ -468,10 +486,30 @@ def merge_segments(
     # REPLACE commit's atomicity.
     import json as _json
 
+    from search_engine_core_spark.streaming.snapshots import (
+        append_event,
+        next_gen,
+    )
+
+    # every merge gets a unique gen (the manifest idempotence key);
+    # retain decides whether the run's trees survive under that gen
+    gen = next_gen(index_dir)
     marker = f"{index_dir}/segments/_merge_inflight.json"
     with open(marker, "w") as fh:
-        _json.dump({"run": [int(s) for s in run], "new_seg": int(new_seg)}, fh)
-    _finish_merge_swap(index_dir, run, new_seg)
+        _json.dump(
+            {"run": [int(s) for s in run], "new_seg": int(new_seg),
+             "gen": gen, "retain": bool(retain),
+             "pruned_against": pruned_against},
+            fh,
+        )
+    _finish_merge_swap(index_dir, run, new_seg,
+                       retain_gen=gen if retain else None)
+    append_event(
+        index_dir,
+        {"type": "merge", "gen": gen, "run": [int(s) for s in run],
+         "new_seg": int(new_seg), "retained": bool(retain),
+         "pruned_against": pruned_against, "ts": time.time()},
+    )
     os.remove(marker)
 
     IndexBuilder(spark, index_dir, n_buckets=n_buckets)._log_many(
@@ -481,19 +519,29 @@ def merge_segments(
     return new_seg
 
 
-def _finish_merge_swap(index_dir: str, run: list[int], new_seg: int) -> None:
+def _finish_merge_swap(
+    index_dir: str, run: list[int], new_seg: int,
+    retain_gen: int | None = None,
+) -> None:
     """The swap step of :func:`merge_segments`, shared with
     :func:`recover_merge` and idempotent at every interruption point:
     each artifact's merged tree renames into ``seg=<new_seg>`` (when its
-    tmp still exists), the run's old dirs stage into a trash dir, and the
-    trash drops last. ``seg=<new_seg>`` is both a run member (the old
-    dir) and the destination — the tmp's presence disambiguates: tmp
-    still there means the live ``seg=<new_seg>`` is the OLD dir (stage it
-    out), tmp gone means the rename already happened (leave it)."""
+    tmp still exists), the run's old dirs stage into a trash dir — or,
+    with ``retain_gen``, into ``_retired/gen=<G>/`` where they SURVIVE
+    for time travel — and the trash drops last. ``seg=<new_seg>`` is
+    both a run member (the old dir) and the destination — the tmp's
+    presence disambiguates: tmp still there means the live
+    ``seg=<new_seg>`` is the OLD dir (stage it out), tmp gone means the
+    rename already happened (leave it). Dir moves are same-fs renames,
+    so each is atomic and a re-run skips already-moved sources."""
     import os
     import shutil
 
-    trash = f"{index_dir}/segments/_merge_trash"
+    trash = (
+        f"{index_dir}/segments/_retired/gen={retain_gen}"
+        if retain_gen is not None
+        else f"{index_dir}/segments/_merge_trash"
+    )
     for artifact, tmp_name in (("postings", "_merge_post_tmp"),
                                ("docs", "_merge_docs_tmp"),
                                ("positions", "_merge_pos_tmp")):
@@ -504,12 +552,15 @@ def _finish_merge_swap(index_dir: str, run: list[int], new_seg: int) -> None:
             if s == new_seg and not has_tmp:
                 continue  # already the merged tree
             src = f"{root}/seg={s}"
-            if os.path.isdir(src):
+            if os.path.isdir(src) and not os.path.isdir(
+                f"{trash}/{artifact}/seg={s}"
+            ):
                 os.makedirs(f"{trash}/{artifact}", exist_ok=True)
                 shutil.move(src, f"{trash}/{artifact}/seg={s}")
         if has_tmp:
             shutil.move(tmp, f"{root}/seg={new_seg}")
-    shutil.rmtree(trash, ignore_errors=True)
+    if retain_gen is None:
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def recover_merge(index_dir: str) -> int | None:
@@ -530,8 +581,27 @@ def recover_merge(index_dir: str) -> int | None:
     if os.path.exists(marker):
         with open(marker) as fh:
             meta = _json.load(fh)
-        _finish_merge_swap(index_dir, [int(s) for s in meta["run"]],
-                           int(meta["new_seg"]))
+        gen = meta.get("gen")
+        retain = bool(meta.get("retain"))
+        _finish_merge_swap(
+            index_dir, [int(s) for s in meta["run"]], int(meta["new_seg"]),
+            retain_gen=gen if retain else None,
+        )
+        if gen is not None:  # pre-manifest markers carry no gen
+            import time as _time
+
+            from search_engine_core_spark.streaming.snapshots import (
+                append_event,
+            )
+
+            append_event(
+                index_dir,
+                {"type": "merge", "gen": int(gen),
+                 "run": [int(s) for s in meta["run"]],
+                 "new_seg": int(meta["new_seg"]), "retained": retain,
+                 "pruned_against": meta.get("pruned_against", []),
+                 "ts": _time.time()},
+            )
         os.remove(marker)
         return int(meta["new_seg"])
     for leftover in ("_merge_post_tmp", "_merge_docs_tmp", "_merge_pos_tmp",
@@ -581,6 +651,7 @@ def maybe_compact(
     n_shards: int = 8,
     min_merge: int = 4,
     size_ratio: float = 4.0,
+    retain: bool = False,
 ) -> dict:
     """One LSM maintenance tick: drain level-0 (minor compaction), then
     apply the size-tiered merge policy until no run qualifies (each merge
@@ -601,7 +672,7 @@ def maybe_compact(
         for run in runs:
             actions["merged"].append(
                 merge_segments(spark, index_dir, run, n_buckets,
-                               hot_df_threshold, n_shards)
+                               hot_df_threshold, n_shards, retain=retain)
             )
 
 
