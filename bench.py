@@ -410,6 +410,20 @@ def main() -> None:
 
     timings["curation_report_funnel"] = round(_timed(_curation_funnel), 3)
 
+    # CCNet perplexity gate (r5): train the add-k bigram LM on the corpus
+    # and keep the lowest-perplexity 2/3 — prices tokenize + two
+    # map-side-combinable count aggs + the one scoring join + the
+    # quantile pass (approx: the 100 TB shape; curate() inside the
+    # pipeline uses the exact percentile for report identity).
+    from search_engine_core_spark.operators.lm import perplexity_filter
+
+    def _ppl_gate():
+        perplexity_filter(
+            docs_tbl.repartition(cores), "text", "doc_id", keep_frac=2 / 3
+        ).count()
+
+    timings["ccnet_perplexity_filter"] = round(_timed(_ppl_gate), 3)
+
     # windowed-hash ExactSubstr: prices the token-level explode (one row
     # per window) + groupBy + loser join. window=20 because the synthetic
     # docs run ~45 words; the paper's 50 would yield zero windows here.

@@ -602,15 +602,29 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q15_word_token_counts"] = q15
 
-    def q18(spark, sf_dir):  # F18 quality + lang-id + rolling fingerprint
+    def q18(spark, sf_dir):
+        # F18 quality + lang-id + rolling fingerprint + (r5) the CCNet
+        # perplexity stage: corpus-trained add-k bigram LM perplexity and
+        # exact head/middle/tail terciles (operators/lm.py), ntile-ordered
+        # by the ROUNDED ppl + doc_id so the k-boundaries are engine-
+        # independent (module conventions above). Docs with <2 tokens
+        # have NULL ppl and NULL bucket on both engines.
+        from search_engine_core_spark.operators import lm as lm_ops
+
         d = _docs(spark, sf_dir)
+        ppl = lm_ops.doc_perplexity(d).select(
+            "doc_id", _r2(F.col("ppl")).alias("ppl")
+        )
+        ppl = lm_ops.perplexity_buckets(ppl, exact=True).withColumnRenamed(
+            "bucket", "ppl_bucket"
+        )
         return d.select(
             "doc_id",
             tq.quality_score(F.col("text")).alias("quality"),
             F.round(tq.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
             tq.lang_id(F.col("text")).alias("lang_pred"),
             tq.fingerprint(F.col("text")).alias("fp"),
-        )
+        ).join(ppl, "doc_id")
 
     q["q18_text_profile"] = q18
 
@@ -1336,7 +1350,27 @@ WITH base AS (
          CASE WHEN length(text) > 0
               THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)
               ELSE 0.0 END AS pr
-  FROM documents)
+  FROM documents),
+uni AS (
+  SELECT t AS w1, count(*)::DOUBLE AS c1
+  FROM base, unnest(toks) AS u(t) GROUP BY 1),
+vv AS (SELECT count(*)::DOUBLE AS v FROM uni),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+lmc AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM big GROUP BY 1, 2),
+dbc AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS c FROM big GROUP BY 1, 2, 3),
+pplt AS (
+  SELECT doc_id,
+         round(round(exp(-(sum(c * ln((c12 + 0.5) / (c1 + 0.5 * v)))
+                           / sum(c))), 7), 4) AS ppl
+  FROM dbc JOIN lmc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+  GROUP BY doc_id),
+bkt AS (
+  SELECT doc_id, ppl,
+         (['head', 'middle', 'tail'])[ntile(3) OVER (ORDER BY ppl, doc_id)]
+           AS ppl_bucket
+  FROM pplt)
 SELECT doc_id, round(cq * (1.0 - pr), 4) AS quality,
        round(CASE WHEN len(toks) > 0
              THEN len(list_filter(toks, t -> t IN (
@@ -1350,14 +1384,15 @@ SELECT doc_id, round(cq * (1.0 - pr), 4) AS quality,
             WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
             WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
             ELSE 'de' END AS lang_pred,
-       sha256(array_to_string(toks, ' ')) AS fp
+       sha256(array_to_string(toks, ' ')) AS fp,
+       ppl, ppl_bucket
 FROM (
   SELECT *,
     len(list_filter(toks, t -> t IN ('the','and','is','of','to','in'))) AS h_en,
     len(list_filter(toks, t -> t IN ('el','la','de','que','los','una'))) AS h_es,
     len(list_filter(toks, t -> t IN ('le','la','les','des','est','une'))) AS h_fr,
     len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS h_de
-  FROM base)
+  FROM base) LEFT JOIN bkt USING (doc_id)
 """
     o["q21_dedup_prefix_groups"] = f"""
 WITH fps AS (

@@ -1,6 +1,7 @@
 """End-to-end corpus curation: C4 → span dedup → Gopher → optional
-MinHash near-dup cluster removal → PII, with a per-document, per-rule
-attribution report and a one-row funnel.
+CCNet perplexity gate → optional MinHash near-dup cluster removal →
+PII, with a per-document, per-rule attribution report and a one-row
+funnel.
 
 Composes the public web-corpus recipe (Raffel et al. 2020 §2.2 cleaning,
 Rae et al. 2021 Appendix-A quality/repetition gates, regex PII
@@ -53,6 +54,10 @@ from search_engine_core_spark.functions.gopher import (
 from search_engine_core_spark.functions.pii import pii_counts, redact_pii
 from search_engine_core_spark.operators.components import canonical_docs, dedup_groups
 from search_engine_core_spark.operators.dedup import minhash_lsh_pairs
+from search_engine_core_spark.operators.lm import (
+    perplexity_filter,
+    perplexity_verdicts,
+)
 from search_engine_core_spark.operators.spans import (
     dedup_three_sentence_spans,
     dedup_token_windows,
@@ -108,6 +113,7 @@ def curate(
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
     token_windows: int | None = None,
+    ppl_opts: dict | None = None,
     near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
@@ -115,7 +121,8 @@ def curate(
     """The surviving, PII-redacted corpus: C4 line-clean + page gates →
     corpus-level three-sentence-span dedup → optional token-window
     exact-substring removal → Gopher quality/repetition gates →
-    optional MinHash near-dup removal → PII redaction.
+    optional CCNet perplexity gate → optional MinHash near-dup removal
+    → PII redaction.
     Row-identical to ``curation_report(...).filter("kept")`` with the
     redacted text (pinned in tests).
 
@@ -139,13 +146,33 @@ def curate(
     ``near_dup`` makes the call EAGER: the iterative component resolver
     checkpoints per round, and the survivor frame is localCheckpointed
     so the gate pipeline runs once, not once per plan branch. Requires
-    an integral id column (checked up front)."""
+    an integral id column (checked up front).
+
+    ``ppl_opts`` (a dict, keys of
+    :func:`~search_engine_core_spark.operators.lm.perplexity_verdicts`:
+    ``max_ppl`` OR ``keep_frac``, plus ``k`` / ``train_docs``) switches
+    on the CCNet perplexity gate — between the Gopher gates and the
+    near-dup shuffle (LM scoring is one corpus-level join over the gate
+    survivors; dropping the tail first shrinks the heavier MinHash
+    stage). ``keep_frac`` is resolved with the exact ``percentile``
+    aggregate here (partitioning-independent, so
+    :func:`curation_report` reproduces the identical threshold from its
+    own plan); the stage then localCheckpoints the survivor frame —
+    like ``near_dup``, this makes the call eager."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     out = c4_filter(df, text_col, **c4_o)
     out = dedup_three_sentence_spans(out, text_col, id_col)
     if token_windows is not None:
         out = dedup_token_windows(out, text_col, id_col, window=token_windows)
     out = gopher_filter(out, text_col, impl=impl, **gq_o, **gr_o)
+    if ppl_opts is not None:
+        # checkpoint first: threshold resolution is an action, and the
+        # semi-join's final action would otherwise re-run the whole gate
+        # pipeline (same discipline as the near_dup stage below)
+        out = out.localCheckpoint(eager=True)
+        out = perplexity_filter(
+            out, text_col, id_col, **{"approx": False, **ppl_opts}
+        )
     if near_dup is not None:
         nd_kw, algorithm = _near_dup_opts(near_dup)
         _require_numeric_id(df, id_col)
@@ -210,24 +237,29 @@ def curation_report(
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
     token_windows: int | None = None,
+    ppl_opts: dict | None = None,
     near_dup: dict | None = None,
     pii_kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
     impl: str = "pandas",
 ) -> DataFrame:
     """One row per INPUT doc: ``(id, text_c4, c4_pass, span_changed,
     [token_windows_changed,] text_deduped, gopher_quality_pass,
-    gopher_repetition_pass, [near_dup_pass,] kept, pii,
-    text_redacted)``.
+    gopher_repetition_pass, [ppl, ppl_pass,] [near_dup_pass,] kept,
+    pii, text_redacted)``.
 
     Stage semantics mirror :func:`curate` exactly: the rewrite stages
     (span dedup, then token windows when ``token_windows`` is given)
     run over the C4 survivors only (a C4-rejected doc never claims a
-    span win), Gopher scores the final rewritten text, near-dup
-    clusters (when ``near_dup`` is given) form over the gate survivors
-    only, PII counts reflect the pre-redaction text. Downstream columns
-    are NULL on docs an upstream stage already rejected — they were
-    never scored in the sequential pipeline, and charging them a
-    verdict would misattribute the drop."""
+    span win), Gopher scores the final rewritten text, the CCNet
+    perplexity gate (when ``ppl_opts`` is given — LM trained and
+    thresholded over the gate survivors' rewritten text, exact
+    ``percentile`` so the threshold matches :func:`curate`'s from a
+    different plan) and near-dup clusters (when ``near_dup`` is given)
+    form over the gate survivors only, PII counts reflect the
+    pre-redaction text. Downstream columns are NULL on docs an upstream
+    stage already rejected — they were never scored in the sequential
+    pipeline, and charging them a verdict would misattribute the
+    drop."""
     c4_o, gq_o, gr_o = _split_opts(c4_opts, gopher_opts)
     line_kw = {}
     if "min_words_per_line" in c4_o:
@@ -296,6 +328,28 @@ def curation_report(
         & F.coalesce("gopher_quality_pass", F.lit(False))
         & F.coalesce("gopher_repetition_pass", F.lit(False))
     )
+    if ppl_opts is not None:
+        # checkpoint the spine once: threshold resolution is an action
+        # inside perplexity_verdicts, and the final report action would
+        # otherwise re-run the span-dedup shuffle and the Arrow
+        # repetition batch (same discipline as the near_dup stage)
+        rep = rep.localCheckpoint(eager=True)
+        survivors = rep.filter(gate).select(
+            id_col, F.col("text_deduped").alias("text")
+        )
+        verdicts = perplexity_verdicts(
+            survivors, "text", id_col, **{"approx": False, **ppl_opts}
+        )
+        rep = (
+            rep.join(
+                verdicts.select(id_col, "ppl", F.col("ppl_pass").alias("_pp")),
+                id_col,
+                "left",
+            )
+            .withColumn("ppl_pass", F.when(gate, F.col("_pp")).otherwise(null_b))
+            .drop("_pp")
+        )
+        gate = gate & F.coalesce("ppl_pass", F.lit(False))
     if near_dup is not None:
         nd_kw, algorithm = _near_dup_opts(near_dup)
         _require_numeric_id(df, id_col)
@@ -336,6 +390,7 @@ def curation_funnel(report: DataFrame) -> DataFrame:
     (survived C4), ``n_span_changed``, ``n_token_windows_changed`` (when
     the report carries that rewrite stage), ``n_gopher_quality``,
     ``n_gopher_repetition`` (survived that gate, among C4 survivors),
+    ``n_ppl_dropped`` (when the report carries the perplexity stage),
     ``n_near_dup_dropped`` (when the report carries the near-dup stage),
     ``n_kept``, and total PII hits by kind over the kept text's
     pre-redaction form. A single map-side-combinable aggregate."""
@@ -359,6 +414,14 @@ def curation_funnel(report: DataFrame) -> DataFrame:
             "n_gopher_repetition"
         ),
     ]
+    if "ppl_pass" in report.columns:
+        aggs.append(
+            F.sum(
+                F.coalesce(F.col("ppl_pass") == F.lit(False), F.lit(False)).cast(
+                    "long"
+                )
+            ).alias("n_ppl_dropped")
+        )
     if "near_dup_pass" in report.columns:
         # coalesce BEFORE the cast: an all-NULL column (every doc failed
         # upstream) must fold to 0 like the other counters, not NULL

@@ -1,0 +1,240 @@
+"""CCNet-style language-model perplexity scoring, bucketing, filtering.
+
+Wenzek et al., *CCNet: Extracting High Quality Monolingual Datasets from
+Web Crawl Data* (LREC 2020) rank Common Crawl documents by the
+perplexity of an n-gram LM and split the corpus into **head / middle /
+tail** buckets — low-perplexity text reads like the LM's training data,
+high-perplexity text is boilerplate/gibberish — then train on head (+
+middle). It is the one canonical pretraining-curation stage this repo's
+pipeline (C4 → span dedup → Gopher → near-dup → PII,
+:func:`~search_engine_core_spark.operators.curation.curate`) was still
+missing.
+
+The LM here is a corpus-trained **add-k-smoothed bigram model**:
+
+    lp(w2 | w1) = ln( (c(w1,w2) + k) / (c(w1) + k·V) )
+
+with ``c`` the corpus counts, ``V`` the vocabulary size, and per-doc
+
+    ppl(d) = exp( − Σ_bigrams c_d·lp / Σ_bigrams c_d )
+
+(docs with fewer than two tokens have no bigrams → ``ppl`` is NULL;
+they carry no LM evidence either way and the caller's gates decide).
+CCNet's actual scorer is a KenLM 5-gram with Kneser-Ney backoff trained
+on Wikipedia; what carries to 100 TB is the *stage* — its cost shape,
+its bucket semantics, its place in the funnel — not the binary model
+format, and a self-trained bigram model keeps every number
+DuckDB-recomputable for the driver oracle (the repo's hard-signal rule).
+Unseen events still score: a missing bigram backs off to the smoothed
+floor ``ln(k / (c(w1) + k·V))`` and a missing context to ``ln(1/V)``,
+so the model transfers to held-out text (test-pinned).
+
+Everything is built-in-expression Spark — zero Python in the data path:
+
+* tokenize via the canonical JVM tokenizer expression;
+* bigrams via ``arrays_zip(slice(toks,1,n−1), slice(toks,2,n−1))`` —
+  one expression, no explode-and-self-join;
+* counts are ``groupBy().count()`` (map-side combinable partial aggs);
+* ``V`` rides a one-row aggregate cross-joined back in (broadcast by
+  construction) — the whole score is ONE lazy plan, no driver action;
+* scoring is a single shuffle join keyed on (w1, w2) — AQE converts it
+  to broadcast when the LM is small, and at 100 TB it is a plain
+  co-partitioned equi-join (the LM is O(distinct bigrams), orders of
+  magnitude smaller than the corpus);
+* bucketing at scale uses ``approxQuantile`` thresholds (one pass, no
+  total sort); exact ``ntile`` is provided for validation-scale parity
+  and documented as such.
+
+Reference: no analog — beyond-reference curation operator, same family
+as :mod:`~search_engine_core_spark.functions.gopher` /
+:mod:`~search_engine_core_spark.functions.c4`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_core_spark.functions.tokenizer import tokenize_expr
+
+#: CCNet's three perplexity buckets, lowest perplexity first.
+CCNET_LABELS = ("head", "middle", "tail")
+
+
+def bigrams_expr(toks: F.Column) -> F.Column:
+    """``array<struct<w1,w2>>`` of adjacent token pairs — pure JVM
+    expression (empty for fewer than two tokens)."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, n).alias("w1"),
+        F.slice(toks, F.lit(2), n).alias("w2"),
+    )
+
+
+def doc_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: float = 0.5,
+    train_docs: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_col, ppl)`` — add-k bigram-LM perplexity per document.
+
+    The LM is trained on ``train_docs`` (default: ``docs`` itself, the
+    self-scoring shape CCNet uses per language shard when no external
+    reference corpus exists). Bigrams absent from the LM back off to the
+    smoothed floor (see module docstring), so held-out scoring works.
+    One lazy plan: tokenize → bigram/unigram counts → one join by
+    (w1, w2) → weighted log-prob average per doc; docs with no bigrams
+    surface with NULL ``ppl`` via the final left join.
+    """
+    toks = tokenize_expr(F.col(text_col))
+    tdocs = docs if train_docs is None else train_docs
+    ttoks = tokenize_expr(F.col(text_col))
+
+    uni = (
+        tdocs.select(F.explode(ttoks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # V as a one-row aggregate cross-joined back in: keeps the whole
+    # score a single lazy plan (no collected scalar, no second action)
+    vrow = F.broadcast(uni.agg(F.count(F.lit(1)).cast("double").alias("v")))
+    lm = (
+        tdocs.select(F.explode(bigrams_expr(ttoks)).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    docbi = (
+        docs.select(F.col(id_col), F.explode(bigrams_expr(toks)).alias("b"))
+        .groupBy(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        docbi.join(lm, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(vrow)
+        .groupBy(id_col)
+        .agg((F.sum(F.col("c") * lp) / F.sum("c")).alias("avg_lp"))
+        .select(id_col, F.exp(-F.col("avg_lp")).alias("ppl"))
+    )
+    return docs.select(id_col).join(scored, id_col, "left")
+
+
+def perplexity_buckets(
+    ppl_df: DataFrame,
+    *,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    id_col: str = "doc_id",
+    exact: bool = False,
+    labels: tuple[str, ...] | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Add a ``bucket`` column splitting non-NULL perplexities into
+    ``n_buckets`` equal-count groups, lowest perplexity first — CCNet's
+    head/middle/tail when ``n_buckets == 3`` (the default labels);
+    NULL ``ppl`` rows keep a NULL bucket.
+
+    Default mode computes ``approxQuantile`` thresholds in one pass and
+    assigns buckets map-side — the 100 TB shape (no total sort; bucket
+    populations are equal up to ``relative_error``). ``exact=True`` uses
+    ``ntile`` over a global order ``(ppl, id_col)`` — a single-partition
+    window, exact and fully deterministic, for validation scale only.
+    """
+    if labels is None:
+        labels = CCNET_LABELS if n_buckets == 3 else tuple(
+            str(i + 1) for i in range(n_buckets)
+        )
+    if len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    scored = ppl_df.filter(F.col(ppl_col).isNotNull())
+    if exact:
+        tile = F.ntile(n_buckets).over(
+            Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+        )
+        bucketed = scored.withColumn("_tile", tile)
+    else:
+        cuts = scored.approxQuantile(
+            ppl_col,
+            [i / n_buckets for i in range(1, n_buckets)],
+            relative_error,
+        )
+        tile = F.lit(n_buckets)
+        for i in range(n_buckets - 1, 0, -1):
+            tile = F.when(F.col(ppl_col) <= F.lit(cuts[i - 1]), F.lit(i)).otherwise(tile)
+        bucketed = scored.withColumn("_tile", tile)
+    label_map = F.array(*[F.lit(x) for x in labels])
+    bucketed = bucketed.withColumn(
+        "bucket", F.element_at(label_map, F.col("_tile"))
+    ).drop("_tile")
+    return ppl_df.join(
+        bucketed.select(id_col, "bucket"), id_col, "left"
+    )
+
+
+def perplexity_verdicts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: float = 0.5,
+    max_ppl: float | None = None,
+    keep_frac: float | None = None,
+    train_docs: DataFrame | None = None,
+    approx: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """``(id_col, ppl, ppl_pass)`` — the CCNet gate's per-doc verdicts.
+
+    Exactly one of ``max_ppl`` (absolute threshold) or ``keep_frac``
+    (keep the lowest-perplexity fraction, e.g. 2/3 ≈ CCNet's
+    head+middle, resolved to a threshold by one quantile pass) must be
+    given. ``approx=True`` (default) resolves ``keep_frac`` with
+    ``approxQuantile`` — the 100 TB shape; ``approx=False`` uses the
+    exact ``percentile`` aggregate, a deterministic function of the
+    value multiset alone (partitioning-independent — what the curation
+    report's cross-plan row-identity with :func:`curate` needs).
+    NULL-``ppl`` docs (fewer than two tokens) PASS — the LM has no
+    evidence against them and the length gates elsewhere in the funnel
+    own that call."""
+    if (max_ppl is None) == (keep_frac is None):
+        raise ValueError("pass exactly one of max_ppl / keep_frac")
+    ppl = doc_perplexity(docs, text_col, id_col, k=k, train_docs=train_docs)
+    if keep_frac is not None:
+        if not 0.0 < keep_frac <= 1.0:
+            raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+        scored = ppl.filter(F.col("ppl").isNotNull())
+        if approx:
+            cut = scored.approxQuantile("ppl", [keep_frac], relative_error)[0]
+        else:
+            cut = scored.agg(
+                F.expr(f"percentile(ppl, {keep_frac!r})").alias("c")
+            ).first()["c"]
+        if cut is None:  # no scored docs at all — everything passes
+            cut = float("inf")
+    else:
+        cut = max_ppl
+    return ppl.withColumn(
+        "ppl_pass", F.col("ppl").isNull() | (F.col("ppl") <= F.lit(cut))
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop high-perplexity documents — the CCNet gate as one filtering
+    stage. ``docs`` rows survive unchanged iff their
+    :func:`perplexity_verdicts` verdict passes (kwargs forward there)."""
+    keep = perplexity_verdicts(docs, text_col, id_col, **kwargs).filter(
+        "ppl_pass"
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")
