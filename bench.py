@@ -424,6 +424,21 @@ def main() -> None:
 
     timings["ccnet_perplexity_filter"] = round(_timed(_ppl_gate), 3)
 
+    # BPE tokenizer train + encode (r5): one distributed word-count pass,
+    # the driver merge loop over the bounded type table (the HF shape),
+    # then the Arrow-batched encode of the whole corpus under the trained
+    # vocabulary — prices what a real pipeline runs before any token
+    # budget (pack_sequences) means anything.
+    from search_engine_core_spark.operators.bpe import bpe_token_count, train_bpe
+
+    def _bpe():
+        model = train_bpe(docs_tbl, n_merges=200)
+        docs_tbl.select(
+            F.sum(bpe_token_count(model, "text")).alias("n")
+        ).collect()
+
+    timings["bpe_train_encode"] = round(_timed(_bpe), 3)
+
     # windowed-hash ExactSubstr: prices the token-level explode (one row
     # per window) + groupBy + loser join. window=20 because the synthetic
     # docs run ~45 words; the paper's 50 would yield zero windows here.
