@@ -101,16 +101,24 @@ def doc_perplexity(
     # V as a one-row aggregate cross-joined back in: keeps the whole
     # score a single lazy plan (no collected scalar, no second action)
     vrow = F.broadcast(uni.agg(F.count(F.lit(1)).cast("double").alias("v")))
-    lm = (
-        tdocs.select(F.explode(bigrams_expr(ttoks)).alias("b"))
-        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
     docbi = (
         docs.select(F.col(id_col), F.explode(bigrams_expr(toks)).alias("b"))
         .groupBy(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if train_docs is None:
+        # self-trained: the LM is the column-sum of the per-doc counts —
+        # the corpus explodes its bigrams ONCE, and the second groupBy
+        # runs over the already-collapsed (doc, w1, w2) rows (measured
+        # 1.23× on the 200k-doc local[32] gate probe, 47.1 → 38.3 s,
+        # vs a second explode of the corpus)
+        lm = docbi.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    else:
+        lm = (
+            tdocs.select(F.explode(bigrams_expr(ttoks)).alias("b"))
+            .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("c12"))
+        )
     lp = F.log(
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
@@ -209,6 +217,18 @@ def perplexity_verdicts(
     if keep_frac is not None:
         if not 0.0 < keep_frac <= 1.0:
             raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+        # the quantile pass is an ACTION over the scored frame and the
+        # verdicts are consumed by a second one — persist the scores
+        # (one (id, double) row per doc, O(docs) not O(corpus bytes)) so
+        # the tokenize/count/join pipeline runs once, not twice; persist
+        # (not localCheckpoint) keeps the lineage, so a lost executor
+        # recomputes instead of failing the job. Modest locally (1.07×
+        # on the 200k probe, 50.3 → 47.1 s — same-lineage shuffle reuse
+        # already covers most of the second pass) but it makes the
+        # single execution a guarantee, not a planner accident
+        from pyspark import StorageLevel
+
+        ppl = ppl.persist(StorageLevel.MEMORY_AND_DISK)
         scored = ppl.filter(F.col("ppl").isNotNull())
         if approx:
             cut = scored.approxQuantile("ppl", [keep_frac], relative_error)[0]
