@@ -150,7 +150,9 @@ def curate(
 
     ``ppl_opts`` (a dict, keys of
     :func:`~search_engine_core_spark.operators.lm.perplexity_verdicts`:
-    ``max_ppl`` OR ``keep_frac``, plus ``k`` / ``train_docs``) switches
+    ``max_ppl`` OR ``keep_frac``, plus ``k`` / ``train_docs`` /
+    ``broadcast_lm`` — the last selects the bounded-LM fast scoring
+    plan, see ``doc_perplexity``) switches
     on the CCNet perplexity gate — between the Gopher gates and the
     near-dup shuffle (LM scoring is one corpus-level join over the gate
     survivors; dropping the tail first shrinks the heavier MinHash

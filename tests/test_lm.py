@@ -84,6 +84,42 @@ def test_heldout_backoff(spark, docs):
     assert math.isclose(got[11], exp11, rel_tol=1e-9)
 
 
+def test_broadcast_lm_plan_parity(spark, docs):
+    """broadcast_lm=True (occurrence-level scoring against an explicitly
+    broadcast LM) must produce the same perplexities as the default
+    collapsed plan — identical up to float summation order — on BOTH the
+    self-trained and reference-corpus paths, and its physical plan must
+    actually broadcast (no shuffle join on the skew-prone occurrence
+    stream)."""
+    base = {r["doc_id"]: r["ppl"] for r in lm.doc_perplexity(docs).collect()}
+    fast_df = lm.doc_perplexity(docs, broadcast_lm=True)
+    fast = {r["doc_id"]: r["ppl"] for r in fast_df.collect()}
+    assert set(base) == set(fast)
+    for i, b in base.items():
+        if b is None:
+            assert fast[i] is None
+        else:
+            assert math.isclose(fast[i], b, rel_tol=1e-9), (i, fast[i], b)
+    plan = fast_df._sc._jvm.PythonSQLUtils.explainString(
+        fast_df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    held = docs.sparkSession.createDataFrame(
+        [(10, "aa zz"), (11, "qq ww")], "doc_id long, text string"
+    )
+    ref_base = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.doc_perplexity(held, train_docs=docs).collect()
+    }
+    ref_fast = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.doc_perplexity(held, train_docs=docs,
+                                   broadcast_lm=True).collect()
+    }
+    for i, b in ref_base.items():
+        assert math.isclose(ref_fast[i], b, rel_tol=1e-9), (i, ref_fast[i], b)
+
+
 def test_buckets_exact_and_approx_agree(docs):
     ppl = lm.doc_perplexity(docs)
     exact = {r["doc_id"]: r["bucket"] for r in lm.perplexity_buckets(ppl, exact=True).collect()}
