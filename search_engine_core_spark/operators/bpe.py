@@ -56,19 +56,24 @@ END_OF_WORD = "</w>"
 
 @dataclass(frozen=True)
 class BPEModel:
-    """An ordered merge list (rank = position) plus the end-of-word
-    marker. The vocabulary is derivable (alphabet ∪ merge outputs) —
-    ``vocab()`` — so the model serializes to just the merges, the same
-    minimal form as a HF ``merges.txt``."""
+    """An ordered merge list (rank = position), the training alphabet,
+    and the end-of-word marker. ``vocab()`` = alphabet ∪ end-of-word ∪
+    merge outputs — the alphabet is carried explicitly because a
+    character that never participates in a selected merge still encodes
+    as its own token (the 'every word encodes, no UNK' contract), so a
+    consumer sizing an id/embedding table from ``vocab()`` must see it.
+    Serialization is merges + alphabet, the same minimal form as a HF
+    ``merges.txt`` + initial-alphabet pair."""
 
     merges: tuple[tuple[str, str], ...]
     end_of_word: str = END_OF_WORD
+    alphabet: tuple[str, ...] = ()
 
     def ranks(self) -> dict[tuple[str, str], int]:
         return {p: i for i, p in enumerate(self.merges)}
 
     def vocab(self) -> set[str]:
-        out = {self.end_of_word}
+        out = {self.end_of_word, *self.alphabet}
         for a, b in self.merges:
             out.update((a, b, a + b))
         return out
@@ -77,7 +82,8 @@ class BPEModel:
         with open(path, "w") as fh:
             json.dump(
                 {"end_of_word": self.end_of_word,
-                 "merges": [list(p) for p in self.merges]},
+                 "merges": [list(p) for p in self.merges],
+                 "alphabet": list(self.alphabet)},
                 fh,
             )
 
@@ -88,6 +94,9 @@ class BPEModel:
         return cls(
             merges=tuple((a, b) for a, b in d["merges"]),
             end_of_word=d["end_of_word"],
+            # pre-alphabet model files load with an empty alphabet —
+            # encode is unaffected (ranks drive it); only vocab() grew
+            alphabet=tuple(d.get("alphabet", ())),
         )
 
 
@@ -144,9 +153,11 @@ def train_bpe_from_counts(
     contain the pair, and pair counts are updated by delta."""
     words: list[list[str]] = []
     wcnt: list[int] = []
+    alphabet: set[str] = set()
     for w, c in counts:
         words.append(list(w) + [end_of_word])
         wcnt.append(int(c))
+        alphabet.update(w)
 
     import heapq
     from collections import Counter, defaultdict
@@ -167,6 +178,7 @@ def train_bpe_from_counts(
     heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
+    merged_set: set[tuple[str, str]] = set()
     while len(merges) < n_merges and heap:
         negc, best = heapq.heappop(heap)
         cur = pair_counts.get(best, 0)
@@ -174,7 +186,16 @@ def train_bpe_from_counts(
             continue  # stale entry; every live count has a fresh one queued
         if cur < min_pair_count:
             break  # valid top of the heap IS the global max — done
-        merges.append(best)
+        if best not in merged_set:
+            # a pair can RE-FORM after later merges build the same symbol
+            # string by another path (e.g. ("a","bc") also yielding "abc"
+            # next to "d" after ("ab","c")+("abc","d") were selected);
+            # it already holds a rank, so apply the re-segmentation below
+            # without appending a duplicate — a duplicate would waste an
+            # n_merges slot and ranks() would keep the later (wrong)
+            # priority for encode
+            merges.append(best)
+            merged_set.add(best)
         merged = best[0] + best[1]
         touched: set[tuple[str, str]] = set()
         for i in sorted(pair_words[best]):
@@ -206,7 +227,8 @@ def train_bpe_from_counts(
             c = pair_counts.get(p, 0)
             if c > 0:
                 heapq.heappush(heap, (-c, p))
-    return BPEModel(merges=tuple(merges), end_of_word=end_of_word)
+    return BPEModel(merges=tuple(merges), end_of_word=end_of_word,
+                    alphabet=tuple(sorted(alphabet)))
 
 
 def encode_word(

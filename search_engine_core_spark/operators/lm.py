@@ -224,8 +224,11 @@ def perplexity_buckets(
             [i / n_buckets for i in range(1, n_buckets)],
             relative_error,
         )
-        tile = F.lit(n_buckets)
-        for i in range(n_buckets - 1, 0, -1):
+        # approxQuantile returns [] on a column with no values (every
+        # ppl NULL / empty frame) — scored is then empty, so any tile
+        # expression is fine; skip the cuts-indexing loop
+        tile = F.lit(n_buckets) if cuts else F.lit(1)
+        for i in range(len(cuts), 0, -1):
             tile = F.when(F.col(ppl_col) <= F.lit(cuts[i - 1]), F.lit(i)).otherwise(tile)
         bucketed = scored.withColumn("_tile", tile)
     label_map = F.array(*[F.lit(x) for x in labels])
@@ -249,6 +252,7 @@ def perplexity_verdicts(
     broadcast_lm: bool = False,
     approx: bool = True,
     relative_error: float = 0.001,
+    persist: bool = True,
 ) -> DataFrame:
     """``(id_col, ppl, ppl_pass)`` — the CCNet gate's per-doc verdicts.
 
@@ -262,7 +266,16 @@ def perplexity_verdicts(
     report's cross-plan row-identity with :func:`curate` needs).
     NULL-``ppl`` docs (fewer than two tokens) PASS — the LM has no
     evidence against them and the length gates elsewhere in the funnel
-    own that call."""
+    own that call.
+
+    ``persist`` (``keep_frac`` mode only): cache the O(docs) score rows
+    so the threshold action and the verdict consumer's action execute
+    the scoring pipeline once (measured 1.6×, 61.1 → 38.3 s on the 200k
+    gate probe). The cached block lives in the SQL cache until the
+    session clears it — MEMORY_AND_DISK, so it spills/evicts rather
+    than OOMs, but a long-lived session gating MANY corpora in a loop
+    should pass ``persist=False`` (pipeline runs twice, nothing
+    retained) or call ``spark.catalog.clearCache()`` between corpora."""
     if (max_ppl is None) == (keep_frac is None):
         raise ValueError("pass exactly one of max_ppl / keep_frac")
     ppl = doc_perplexity(docs, text_col, id_col, k=k, train_docs=train_docs,
@@ -275,16 +288,16 @@ def perplexity_verdicts(
         # (one (id, double) row per doc, O(docs) not O(corpus bytes)) so
         # the tokenize/count/join pipeline runs once, not twice; persist
         # (not localCheckpoint) keeps the lineage, so a lost executor
-        # recomputes instead of failing the job. Modest locally (1.07×
-        # on the 200k probe, 50.3 → 47.1 s — same-lineage shuffle reuse
-        # already covers most of the second pass) but it makes the
-        # single execution a guarantee, not a planner accident
-        from pyspark import StorageLevel
+        # recomputes instead of failing the job
+        if persist:
+            from pyspark import StorageLevel
 
-        ppl = ppl.persist(StorageLevel.MEMORY_AND_DISK)
+            ppl = ppl.persist(StorageLevel.MEMORY_AND_DISK)
         scored = ppl.filter(F.col("ppl").isNotNull())
         if approx:
-            cut = scored.approxQuantile("ppl", [keep_frac], relative_error)[0]
+            # approxQuantile returns [] when no doc scored (all-NULL ppl)
+            res = scored.approxQuantile("ppl", [keep_frac], relative_error)
+            cut = res[0] if res else None
         else:
             cut = scored.agg(
                 F.expr(f"percentile(ppl, {keep_frac!r})").alias("c")

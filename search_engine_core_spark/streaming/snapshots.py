@@ -198,6 +198,12 @@ def resolve_cover(index_dir: str, snap: int) -> list[tuple[str, int, frozenset, 
         (cov, need, f"gen={g}", s)
         for g, s, cov, need in retired
         if g not in expired and cov <= target and need <= target
+        # never trust the manifest over the fs (a crash inside an old
+        # expire_retired, or manual cleanup, can drop trees the log
+        # still lists): a retired tree must actually be on disk
+        and os.path.isdir(
+            f"{index_dir}/segments/_retired/gen={g}/postings/seg={s}"
+        )
     ]
     remaining = set(target)
     chosen: list[tuple[str, int, frozenset, frozenset]] = []
@@ -241,16 +247,33 @@ def _check_delete_barrier(index_dir: str, commit_ts: float | None) -> None:
         )
     except Exception:
         return  # unreadable lineage never blocks a restore
+    import datetime as _dt
+
     stages = tbl["stage"].to_pylist()
     times = tbl["updated_at"].to_pylist()
-    dels = [t.timestamp() for s, t in zip(stages, times) if s == "delete" and t]
+    # Spark writes lineage timestamps under a UTC session; pyarrow hands
+    # naive datetimes back — interpret them as UTC explicitly, never via
+    # the host's local timezone (naive .timestamp() would skew the
+    # barrier by the host's UTC offset against the time.time() commit ts)
+    dels = [
+        (t.replace(tzinfo=_dt.timezone.utc) if t.tzinfo is None else t)
+        .timestamp()
+        for s, t in zip(stages, times)
+        if s == "delete" and t
+    ]
     if not dels:
         return
     barrier = max(dels)
-    # commit ts unknown (fs-derived) -> be conservative only when a
-    # delete exists at all: compare against the segment dir's mtime
     if commit_ts is None:
-        return
+        # fs-derived commit (pre-manifest index or a crash before the
+        # commit event append): its age is unknowable, so with any
+        # delete on record the contract is refuse, never resurrect
+        raise RuntimeError(
+            "index has row-level delete lineage and this commit's "
+            "timestamp is unknown (filesystem-derived, no manifest "
+            "event) — refusing to restore rather than risk pairing a "
+            "post-delete main tree with pre-delete segments"
+        )
     if barrier > commit_ts:
         raise RuntimeError(
             "index main tree was rewritten by a row-level delete after this "
@@ -342,10 +365,15 @@ def expire_retired(index_dir: str, gens: list[int] | None = None) -> list[int]:
         else []
     )
     doomed = sorted(present if gens is None else [g for g in gens if g in present])
-    for g in doomed:
-        shutil.rmtree(f"{root}/gen={g}", ignore_errors=True)
+    # log BEFORE deleting: a crash between the two leaves dirs on disk
+    # but already marked expired (restores refuse, storage re-reclaimed
+    # by a re-run) — the reverse order would leave the manifest claiming
+    # restorability over half-deleted trees, which restore_snapshot's
+    # per-dir guards would then silently skip
     if doomed:
         append_event(
             index_dir, {"type": "expire", "gens": doomed, "ts": time.time()}
         )
+    for g in doomed:
+        shutil.rmtree(f"{root}/gen={g}", ignore_errors=True)
     return doomed

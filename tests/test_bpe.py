@@ -67,6 +67,20 @@ def test_round_trip_and_unseen_words():
     assert bpe.encode_word("lowest", ranks) == ["low", "est</w>"]
 
 
+def test_vocab_includes_unmerged_alphabet():
+    """A character that never participates in a selected merge still
+    encodes as its own token, so vocab() must contain it — a consumer
+    sizing an id table from vocab() would otherwise hit OOV at encode
+    time, violating the no-UNK contract."""
+    model = bpe.train_bpe_from_counts([("abz", 5)], n_merges=1,
+                                      min_pair_count=1)
+    assert model.merges == (("a", "b"),)
+    assert "z" in model.vocab()
+    assert "z" in bpe.encode_word("abz", model.ranks())
+    # merge members/outputs and the marker are all there too
+    assert {"a", "b", "ab", "</w>"} <= model.vocab()
+
+
 def test_min_pair_count_stops_early():
     model = bpe.train_bpe_from_counts([("ab", 1), ("cd", 1)], n_merges=10)
     assert model.merges == ()  # every pair is a singleton

@@ -153,6 +153,22 @@ def test_perplexity_filter_modes(docs):
         lm.perplexity_filter(docs, keep_frac=1.5)
 
 
+def test_all_null_ppl_gate_and_buckets(spark):
+    """Every doc under two tokens → every ppl NULL: approxQuantile
+    returns [] and both the keep_frac gate (approx=True) and the approx
+    bucket path must degrade like their exact twins — everything passes
+    / NULL buckets — instead of IndexError."""
+    short = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in lm.perplexity_filter(short, keep_frac=0.5).collect()
+    )
+    assert kept == [1, 2, 3]
+    got = lm.perplexity_buckets(lm.doc_perplexity(short)).collect()
+    assert all(r["bucket"] is None for r in got) and len(got) == 3
+
+
 C4_OPTS = {"min_sentences": 3}
 GOPHER_OPTS = {"min_words": 12, "min_required_stopwords": 1}
 

@@ -146,6 +146,30 @@ def test_time_travel_after_retained_merge(spark, tmp_path, snap_base):
         restore_snapshot(idx, 0, str(tmp_path / "gone"))
 
 
+def test_missing_retired_tree_reports_unrestorable(spark, tmp_path,
+                                                   snap_base):
+    """Never trust the manifest over the fs: if a retired gen's trees
+    vanish without an expire event (crash inside an old expire_retired,
+    manual cleanup), the straddled commits must flip to unrestorable and
+    restore must raise — NOT silently produce an index missing dirs."""
+    from search_engine_core_spark.streaming.incremental import merge_segments
+    from search_engine_core_spark.streaming.snapshots import (
+        restore_snapshot,
+        snapshots,
+    )
+
+    idx = _copy(snap_base, tmp_path)
+    assert merge_segments(spark, idx, [0, 1, 2], n_buckets=4, retain=True) == 2
+    shutil.rmtree(f"{idx}/segments/_retired/gen=1")  # no expire event
+    assert [s["restorable"] for s in snapshots(idx)] == [False, False, True]
+    with pytest.raises(RuntimeError, match="not restorable"):
+        restore_snapshot(idx, 0, str(tmp_path / "gone"))
+    # the merged commit still restores rank-identical
+    out = str(tmp_path / "asof2")
+    restore_snapshot(idx, 2, out)
+    _assert_same(_results(spark, out), snap_base[1][2], "merged-after-loss")
+
+
 def test_unretained_prune_taints_restore(spark, tmp_path, snap_base):
     """An unretained merge of [0,1] under seg 2 prunes doc versions that
     snapshot 1 still needs: restoring 0 or 1 must refuse (taint), while
