@@ -34,8 +34,10 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from search_engine_core_spark.functions.textprims import split_lines
 from search_engine_core_spark.functions.textprims import strip_ws as _strip
 from search_engine_core_spark.functions.textprims import text_or_empty as _text
+from search_engine_core_spark.functions.textprims import ws_words
 
 __all__ = [
     "C4_DEFAULT_BADWORDS",
@@ -65,7 +67,7 @@ def _line_pass(line: Column, min_words: int) -> Column:
     ends_ok = F.lit(False)
     for p in C4_TERMINAL_PUNCT:
         ends_ok = ends_ok | F.endswith(line, F.lit(p))
-    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0))
+    n_words = F.size(ws_words(line))
     return (
         ends_ok
         & (n_words >= F.lit(min_words))
@@ -78,12 +80,13 @@ def c4_clean_lines(
 ) -> Column:
     """The document text rebuilt from only its C4-surviving lines
     (stripped, joined by ``joiner``). Lines split on newline runs."""
-    t = _text(text)
-    lines = F.filter(
-        F.transform(F.split(t, r"\n+"), lambda l: _strip(l)),
-        lambda l: F.length(l) > 0,
+    # shared textprims splitter (strip-then-split ≡ the old inline
+    # split-then-strip: boundary empties drop either way), so a
+    # whitespace-semantics fix lands once in textprims
+    kept = F.filter(
+        split_lines(_text(text)),
+        lambda l: _line_pass(l, min_words_per_line),
     )
-    kept = F.filter(lines, lambda l: _line_pass(l, min_words_per_line))
     return F.array_join(kept, joiner)
 
 

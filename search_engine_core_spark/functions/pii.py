@@ -38,13 +38,18 @@ __all__ = [
 _EMAIL = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 _OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _IPV4 = r"\b" + _OCTET + r"(?:\." + _OCTET + r"){3}\b"
-# The left edge needs an explicit guard, not just the optional-prefix
-# group: without it the match can START mid-run inside a longer digit
-# string ("order id 812345 678-9012" would redact "345 678-9012").
-# (?<![\d.-]) is a fixed-width lookbehind (portable Java/Python); it
-# also deliberately refuses matches glued to a preceding '-'/'.' —
+# BOTH edges need explicit guards, not just \b: without the left one
+# the match can START mid-run inside a longer digit string ("order id
+# 812345 678-9012" would redact "345 678-9012"); without the right one
+# a phone-shaped PREFIX of a longer separated id matches ("ref
+# 555-123-4567-8901" would redact to "<PHONE>-8901" — \b holds before
+# '-'). (?<![\d.-]) / (?![-.]?\d) are fixed-width-enough for Java and
+# Python alike; both deliberately refuse matches glued to '-'/'.' —
 # conservative by design, same policy as the 3-3-4 shape itself.
-_PHONE = r"(?<![\d.-])(?:\+?1[-. ])?\(?[2-9][0-9]{2}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+_PHONE = (
+    r"(?<![\d.-])(?:\+?1[-. ])?\(?[2-9][0-9]{2}\)?[-. ][0-9]{3}[-. ]"
+    r"[0-9]{4}\b(?![-.]?\d)"
+)
 
 # kind -> (pattern, default replacement token)
 PII_PATTERNS: dict[str, tuple[str, str]] = {

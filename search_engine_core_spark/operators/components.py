@@ -51,6 +51,28 @@ __all__ = [
 ]
 
 
+def _require_integral_ids(
+    pairs: DataFrame, id_a: str, id_b: str, where: str
+) -> None:
+    """Both id columns must be integral: the algorithms cast to long,
+    and a string/float id would either NULL out under a non-ANSI cast
+    (silently dropping every edge — the dedup becomes a no-op) or fail
+    deep inside the plan under Spark 4's ANSI default. Fail fast with a
+    clear message instead; hash non-numeric ids first (``xxhash64``,
+    the convention the corpus's ``doc_id`` itself uses)."""
+    from pyspark.sql import types as T
+
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for name in (id_a, id_b):
+        dt = pairs.schema[name].dataType
+        if not isinstance(dt, ok):
+            raise ValueError(
+                f"{where}: id column {name!r} must be integral, got "
+                f"{dt.simpleString()} — hash non-numeric ids to int64 "
+                "first (e.g. F.xxhash64)"
+            )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -67,6 +89,7 @@ def connected_components(
     the graph has a longer diameter than min-propagation should serve
     (see the module docstring for the O(log²) alternative).
     """
+    _require_integral_ids(pairs, id_a, id_b, "connected_components")
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -77,6 +100,14 @@ def connected_components(
     )
     # symmetric view once; each round joins labels against it
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # vertices come from the RAW pairs, not the filtered edges: an id
+    # appearing only in self-loop pairs still self-roots in the output
+    # ("one row for every id appearing in pairs")
+    verts = (
+        pairs.select(F.col(id_a).cast("long").alias("u"))
+        .unionByName(pairs.select(F.col(id_b).cast("long").alias("u")))
+        .distinct()
+    )
     def _checkpoint_with_sum(df: DataFrame):
         # Fixpoint invariant, computed for FREE: labels only ever DECREASE
         # element-wise, so sum(component) strictly decreases until
@@ -96,9 +127,7 @@ def connected_components(
         return ck, obs.get["s"]
 
     labels, prev_sum = _checkpoint_with_sum(
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("id"), F.col("u").alias("component"))
+        verts.select(F.col("u").alias("id"), F.col("u").alias("component"))
     )
     for _ in range(max_iter):
         # candidate labels flowing across edges: v offers its current
@@ -163,6 +192,12 @@ def connected_components_star(
     Returns the same schema and the same labels as
     :func:`connected_components` (component = smallest member id).
     """
+    _require_integral_ids(pairs, id_a, id_b, "connected_components_star")
+    in_verts = (
+        pairs.select(F.col(id_a).cast("long").alias("u"))
+        .unionByName(pairs.select(F.col(id_b).cast("long").alias("u")))
+        .distinct()
+    )
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
@@ -227,13 +262,19 @@ def connected_components_star(
             "rounds — not expected for any graph (O(log² n) bound); check "
             "the input for pathological id distributions"
         )
-    # stars -> labels: children point at their parent, parents are roots
+    # stars -> labels: children point at their parent, parents are roots;
+    # ids the star edges never saw (self-loop-only / isolated in pairs)
+    # self-root, matching connected_components
     labels = (
         edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
         .unionByName(
             edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
         )
         .distinct()
+    )
+    labels = labels.unionByName(
+        in_verts.join(labels, in_verts["u"] == labels["id"], "left_anti")
+        .select(F.col("u").alias("id"), F.col("u").alias("component"))
     )
     # validation round (see docstring): one min-propagation step over the
     # ORIGINAL edges must be a fixpoint of this labeling

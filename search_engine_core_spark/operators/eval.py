@@ -46,7 +46,15 @@ def rank_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame
     recall/ap/ndcg (undefined, excluded from aggregate means) and 0
     precision/rr.
     """
-    res = results.select("query", "doc_id", "score")
+    # defensive dedupe BOTH sides: a duplicate (query, doc) result row
+    # (e.g. a union of two scorers before fusion) would hold two ranks
+    # and double-count its relevance — recall and ndcg could exceed 1.0;
+    # keep the best-scored appearance, same tiebreak as ranking
+    res = (
+        results.select("query", "doc_id", "score")
+        .groupBy("query", "doc_id")
+        .agg(F.max("score").alias("score"))
+    )
     # defensive dedupe: duplicate judgments for one (query, doc) would
     # fan out the results join; max-rel is the usual TREC resolution
     qr = (

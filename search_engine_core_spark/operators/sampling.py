@@ -69,6 +69,11 @@ def hash_split(
     Pure column expression — no shuffle, no sampling state."""
     if not weights:
         raise ValueError("hash_split needs at least one named weight")
+    for name, w in weights.items():
+        # a negative weight passes the sum check but corrupts every
+        # cumulative threshold after it (splits silently over/under-fill)
+        if w < 0:
+            raise ValueError(f"hash_split weight {name!r} is negative: {w}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("hash_split weights must sum to a positive value")

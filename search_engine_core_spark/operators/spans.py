@@ -38,7 +38,12 @@ Shared semantics (deviations from both papers documented):
   the reference pipelines keep whichever occurrence they happen to see
   first (order-dependent);
 * a loser occurrence removes its ``span`` units (union across
-  overlapping losing spans); docs with removals are rebuilt by joining
+  overlapping losing spans) MINUS any unit inside a kept occurrence —
+  winner units are protected, so the one kept occurrence of every
+  duplicated span survives intact even under chained cross-doc
+  overlaps; a loser overlapping a winner is then only partially
+  removed, leaving a fragment shorter than ``span`` (below the rule's
+  own duplication threshold). Docs with removals are rebuilt by joining
   surviving units with ``joiner``, docs without removals keep their
   original text byte-for-byte;
 * span keys are xxhash64 — a collision removes one extra span,
@@ -80,9 +85,15 @@ _C4_NORM = lambda s: F.regexp_replace(F.lower(s), r"(?U)[\W_]", "")  # noqa: E73
 
 def _tokens(text: Column | str) -> Column:
     """Whitespace tokens, empties dropped (Python ``str.split()``
-    semantics, same unit as ``text_quality.word_count``)."""
+    semantics, same unit as ``text_quality.word_count``) — the shared
+    textprims helpers, so a whitespace-semantics fix lands once there."""
+    from search_engine_core_spark.functions.textprims import (
+        text_or_empty,
+        ws_words,
+    )
+
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda w: F.length(w) > 0)
+    return ws_words(text_or_empty(c))
 
 
 def _span_hash_rows(
@@ -150,8 +161,9 @@ def _dedup_spans_core(
     )
     # (id, unit_idx) rows to remove — overlapping losing spans produce
     # duplicate rows; the anti-join below absorbs them.
+    dup = winners.filter(F.col("n") > 1)
     removed = (
-        spans.join(winners.filter(F.col("n") > 1), "span_hash")
+        spans.join(dup, "span_hash")
         .filter(
             ~((F.col("id") == F.col("keep.id")) & (F.col("span_idx") == F.col("keep.span_idx")))
         )
@@ -162,6 +174,22 @@ def _dedup_spans_core(
             ).alias("unit_idx"),
         )
     )
+    # WINNER PROTECTION: chained overlaps can put a loser of one span on
+    # top of the kept occurrence of ANOTHER (docs 'x y' / 'x y z' /
+    # 'y z', window 2: removing 'x y z'-doc's losing 'x y' would destroy
+    # its winning 'y z'). Subtracting every winner's units keeps the
+    # "kept exactly once" invariant unconditionally; the cost is that a
+    # loser overlapping a winner is only PARTIALLY removed (a fragment
+    # shorter than ``span`` survives — below the rule's own threshold).
+    protected = dup.select(
+        F.col("keep.id").alias("id"),
+        F.explode(
+            F.sequence(
+                F.col("keep.span_idx"), F.col("keep.span_idx") + F.lit(span - 1)
+            )
+        ).alias("unit_idx"),
+    )
+    removed = removed.join(protected, ["id", "unit_idx"], "left_anti")
 
     # Rebuild relationally, touching AFFECTED docs only: explode their
     # units, anti-join the removed indices, re-assemble in index order.

@@ -61,7 +61,8 @@ def twin_doc_pass(t: str | None, min_sentences: int = 5, badwords=None) -> bool:
 
 def twin_span_dedup(docs: dict[int, str], joiner: str = " ") -> dict[int, str]:
     """min-(id, idx) winner per normalized 3-sentence span; losers drop
-    their 3 sentences; affected docs rebuilt with `joiner`. Python \\W is
+    their 3 sentences (minus any sentence inside a winner — winner
+    protection, mirroring the operator); affected docs rebuilt with `joiner`. Python \\W is
     Unicode-aware, matching the Spark side's (?U) flag; empty keys
     (all-punctuation spans) are exempt from dedup."""
     norm = lambda s: re.sub(r"[\W_]", "", s.lower())
@@ -73,13 +74,19 @@ def twin_span_dedup(docs: dict[int, str], joiner: str = " ") -> dict[int, str]:
             if key:
                 occurrences.setdefault(key, []).append((i, j))
     removed: dict[int, set[int]] = {}
+    protected: dict[int, set[int]] = {}
     for occ in occurrences.values():
         if len(occ) < 2:
             continue
         keep = min(occ)
+        protected.setdefault(keep[0], set()).update(
+            (keep[1], keep[1] + 1, keep[1] + 2)
+        )
         for i, j in occ:
             if (i, j) != keep:
                 removed.setdefault(i, set()).update((j, j + 1, j + 2))
+    for i in removed:
+        removed[i] -= protected.get(i, set())
     out = {}
     for i, t in docs.items():
         if i not in removed:
@@ -144,6 +151,10 @@ PII_DOCS = [
     "order id 812345 678-9012 end",
     "version 4.415 555.1234 tag",
     "total 1234567-890-1234 sum",
+    # right-anchor regressions: a phone-shaped PREFIX of a longer
+    # separated id must not match either (the lookahead blocks it)
+    "ref 555-123-4567-8901 end",
+    "serial 555-123-4567.2 tag",
 ]
 
 
@@ -251,20 +262,27 @@ def test_span_dedup_matches_twin(spark):
 
 def twin_window_dedup(docs: dict[int, str], window: int, joiner: str = " ") -> dict[int, str]:
     """Exact-token analog of twin_span_dedup: min-(id, idx) winner per
-    window-token run; losers drop their tokens."""
+    window-token run; losers drop their tokens minus winner-protected
+    units."""
     occurrences: dict[str, list[tuple[int, int]]] = {}
     tok_map = {i: (t or "").split() for i, t in docs.items()}
     for i, toks in tok_map.items():
         for j in range(len(toks) - window + 1):
             occurrences.setdefault(" ".join(toks[j : j + window]), []).append((i, j))
     removed: dict[int, set[int]] = {}
+    protected: dict[int, set[int]] = {}
     for occ in occurrences.values():
         if len(occ) < 2:
             continue
         keep = min(occ)
+        protected.setdefault(keep[0], set()).update(
+            range(keep[1], keep[1] + window)
+        )
         for i, j in occ:
             if (i, j) != keep:
                 removed.setdefault(i, set()).update(range(j, j + window))
+    for i in removed:
+        removed[i] -= protected.get(i, set())
     out = {}
     for i, t in docs.items():
         if i not in removed:
@@ -375,6 +393,21 @@ def test_token_window_dedup_matches_twin(spark):
     assert got[12] == docs[12]
 
 
+def test_winner_protection_under_chained_overlap(spark):
+    """Docs 'x y' / 'x y z' / 'y z' at window 2: removing doc B's losing
+    'x y' must NOT destroy its winning 'y z' — every duplicated span is
+    kept exactly once even when a loser overlaps another span's winner
+    (the unprotected form left 'y z' surviving nowhere)."""
+    docs = {1: "x y", 2: "x y z", 3: "y z"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_token_windows(df, "text", "doc_id", window=2).collect()
+    }
+    assert got == {1: "x y", 2: "y z", 3: ""}
+    assert got == twin_window_dedup(docs, 2)
+
+
 def test_token_window_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError, match="window must be"):
@@ -403,7 +436,7 @@ def test_pii_counts_match_twin(pii_df):
     assert got[2]["n_email"] == 2
     assert got[3]["n_ipv4"] == 2  # 10.1.2.300 rejected by octet range
     assert got[4]["n_phone"] == 2
-    for i in (6, 7, 8):
+    for i in (6, 7, 8, 9, 10):
         assert got[i]["n_phone"] == 0, (i, PII_DOCS[i])
 
 

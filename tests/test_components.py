@@ -61,8 +61,9 @@ def test_chain_needs_multiple_rounds(spark):
 def test_tolerates_self_loops_duplicates_reversed(spark):
     edges = [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)]
     got = spark_components(spark, edges)
-    # self-loop-only nodes never reach another node: dropped with the loop
-    assert got == {1: 1, 2: 1}
+    # "one row for every id appearing in pairs": self-loop-only nodes
+    # self-root instead of vanishing (matches the union-find twin)
+    assert got == uf_components(edges) == {5: 5, 1: 1, 2: 1, 3: 3}
 
 
 def test_empty_pairs(spark):
@@ -138,7 +139,14 @@ class TestAlternatingStar:
 
     def test_tolerates_self_loops_duplicates_reversed(self, spark):
         edges = [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)]
-        assert star_components(spark, edges) == {1: 1, 2: 1}
+        assert star_components(spark, edges) == uf_components(edges)
+
+    def test_string_ids_raise_up_front(self, spark):
+        df = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+        with pytest.raises(ValueError, match="must be integral"):
+            connected_components_star(df)
+        with pytest.raises(ValueError, match="must be integral"):
+            connected_components(df)
 
     def test_empty_pairs(self, spark):
         df = spark.createDataFrame([], "doc_a long, doc_b long")

@@ -53,6 +53,22 @@ class TestRankMetricsHandComputed:
         assert m["idcg_at_k"] == pytest.approx(idcg, abs=1e-6)
         assert m["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-5)
 
+    def test_duplicate_result_rows_do_not_double_count(self, spark):
+        """The same (query, doc) appearing twice in results (e.g. a
+        union of two scorers) must hold ONE rank — unguarded, it held
+        two and recall/ndcg could exceed 1.0."""
+        results = spark.createDataFrame(
+            [("a", 1, 9.0), ("a", 1, 5.0), ("a", 2, 8.0)],
+            "query string, doc_id long, score double",
+        )
+        qrels = spark.createDataFrame(
+            [("a", 1, 1)], "query string, doc_id long, rel int"
+        )
+        m = _by_query(rank_metrics(results, qrels, k=3))["a"]
+        assert (m["n_rel"], m["hits"]) == (1, 1)
+        assert m["recall_at_k"] == pytest.approx(1.0, abs=1e-9)
+        assert m["ndcg_at_k"] == pytest.approx(1.0, abs=1e-9)
+
     def test_rank_cutoff_and_tiebreak(self, spark):
         # relevant doc at rank k+1 does not count; score ties break by
         # doc_id asc (the repo-wide deterministic ordering)

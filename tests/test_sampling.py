@@ -62,6 +62,10 @@ class TestHashSplit:
             hash_split(_ids_df(spark, 5), {})
         with pytest.raises(ValueError):
             hash_split(_ids_df(spark, 5), {"a": 0.0})
+        # a negative weight passes the sum check but corrupts the
+        # cumulative thresholds — must raise, not silently empty 'test'
+        with pytest.raises(ValueError, match="negative"):
+            hash_split(_ids_df(spark, 5), {"train": 1.5, "test": -0.5})
 
 
 class TestResampleToMix:
