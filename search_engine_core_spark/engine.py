@@ -320,26 +320,12 @@ class IndexSearchEngine(_PaginatedSearch):
     def _wand_mode(ast) -> str | None:
         """'AND' / 'OR' for pure plain-term conjunctions/disjunctions
         (the shapes whose DSL semantics WAND reproduces exactly), else
-        None."""
-        from search_engine_core_spark.functions.tokenizer import tokenize_py
-        from search_engine_core_spark.plans.query_parser import And, Or, Term
+        None. ONE implementation — ``operators.batch_query.plain_mode``
+        — shared with the batch path, so the per-query WAND router and
+        the vectorized batch router can never drift on eligibility."""
+        from search_engine_core_spark.operators.batch_query import plain_mode
 
-        def plain(n) -> bool:
-            return isinstance(n, Term) and not n.exact
-
-        if plain(ast):
-            return "AND"  # single term: all its tokens required (planner F4)
-        if isinstance(ast, And) and all(plain(c) for c in ast.children):
-            # flattened token-AND == conjunction of per-child token-ANDs
-            return "AND"
-        if isinstance(ast, Or) and all(
-            plain(c) and len(tokenize_py(c.value)) == 1 for c in ast.children
-        ):
-            # token-OR == DSL OR only when each child is ONE token — a
-            # multi-token child means "all of them", which a flat OR
-            # would weaken to "any"
-            return "OR"
-        return None
+        return plain_mode(ast)
 
     def search_with_meta(self, query: str, k: int = 10, highlight: bool = False) -> DataFrame:
         """Index-engine twin of ``SearchEngine.search_with_meta`` — the
@@ -366,14 +352,31 @@ class IndexSearchEngine(_PaginatedSearch):
     def search_wand(self, query: str, k: int = 10, **wand_kwargs) -> DataFrame:
         """Block-max WAND path. OR semantics over the query's canonical
         tokens (WAND is an OR-mode algorithm); explicit all-plain-term AND
-        queries short-circuit to the semi-join AND path. ``wand_kwargs``
-        pass through to :meth:`WandTopK.topk` (``seed_cap``,
-        ``survivor_cap``) so the driver-byte guards are tunable without
-        reaching into the engine's internals."""
+        queries short-circuit to the semi-join AND path. Queries carrying
+        field filters RAISE: WAND scores terms only, so silently dropping
+        a ``lang:python`` filter would change result MEMBERSHIP (not just
+        ranking) vs :meth:`search` — use :meth:`search` for filtered
+        queries (it routes WAND-eligible shapes to WAND itself).
+        ``wand_kwargs`` pass through to :meth:`WandTopK.topk`
+        (``seed_cap``, ``survivor_cap``) so the driver-byte guards are
+        tunable without reaching into the engine's internals."""
         from search_engine_core_spark.plans.planner import scoring_terms
-        from search_engine_core_spark.plans.query_parser import And, Term
+        from search_engine_core_spark.plans.query_parser import And, Filter, Term
 
         ast = QueryParser().parse(query)
+
+        def _has_filter(n) -> bool:
+            if isinstance(n, Filter):
+                return True
+            return any(_has_filter(c) for c in getattr(n, "children", ()))
+
+        if _has_filter(ast):
+            raise ValueError(
+                "search_wand scores plain terms only — a field filter "
+                "would be silently ignored, changing result membership; "
+                "use search(), which applies filters and still routes "
+                "WAND-eligible shapes through WAND"
+            )
         terms = scoring_terms(ast)
         mode = (
             "AND"
@@ -399,10 +402,32 @@ class IndexSearchEngine(_PaginatedSearch):
         from search_engine_core_spark.operators.postings import decode_postings_df
         from search_engine_core_spark.plans.planner import scoring_terms
 
-        parser = QueryParser()
-        all_toks = sorted(
-            {t for q in queries for t in scoring_terms(parser.parse(q))}
-        )
+        if algorithm == "fielded":
+            # the fielded scorer tokenizes with _extract_query (terms +
+            # phrase tokens) — the union decode must cover exactly those
+            # so batch candidates match the single-query path
+            from search_engine_core_spark.functions.reference_scorer import (
+                _extract_query,
+            )
+            from search_engine_core_spark.functions.tokenizer import tokenize_py
+
+            if "content" not in self.reader.docs.columns:
+                # fail before the eager union decode, like search() does
+                raise ValueError(
+                    "algorithm='fielded' needs the content column: "
+                    "slim index readers must attach_content(corpus) first"
+                )
+            toks: set[str] = set()
+            for q in queries:
+                terms, phrases = _extract_query(q)
+                toks.update(terms)
+                toks.update(t for p in phrases for t in tokenize_py(p))
+            all_toks = sorted(toks)
+        else:
+            parser = QueryParser()
+            all_toks = sorted(
+                {t for q in queries for t in scoring_terms(parser.parse(q))}
+            )
         if all_toks:
             # (measured: repartitioning the ENCODED rows before decode to
             # widen the Arrow stage made BOTH cluster sizes slower on a

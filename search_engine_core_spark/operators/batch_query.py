@@ -186,10 +186,45 @@ def search_many(
     the once-decoded union-term postings. Returns (result, route_stats);
     result columns: (query, doc_id, score), per-query top-k, ordered by
     (query asc, score desc, doc_id asc). Duplicate query strings collapse
-    to one evaluation."""
+    to one evaluation.
+
+    ``algorithm="fielded"`` routes every query through the flagship
+    fielded scorer over the SAME shared tables (``fielded_topk`` prunes
+    candidates from ``trip`` by each query's own tokens, so the shared
+    union-decoded postings give the same candidate set as a per-query
+    decode) — batch replay of fielded queries stays rank-identical to
+    :meth:`search`, matching the other algorithms' contract."""
     seen: dict[str, None] = {}
     for q in queries:
         seen.setdefault(q, None)
+    if algorithm == "fielded":
+        from search_engine_core_spark.functions.reference_scorer import (
+            fielded_topk,
+        )
+
+        if "content" not in docs.columns:
+            raise ValueError(
+                "algorithm='fielded' needs the content column: slim index "
+                "readers must attach_content(corpus) first"
+            )
+        f_parts = [
+            fielded_topk(docs, q, k, trip=trip).select(
+                F.lit(q).alias("query"), "doc_id", "score"
+            )
+            for q in seen
+        ]
+        if not f_parts:
+            out = spark.createDataFrame(
+                [], "query string, doc_id long, score double"
+            )
+        else:
+            out = f_parts[0]
+            for p in f_parts[1:]:
+                out = out.unionByName(p)
+        return (
+            out.orderBy("query", F.desc("score"), F.asc("doc_id")),
+            {"vectorized": 0, "planner": 0, "fielded": len(seen)},
+        )
     parser = QueryParser()
     parsed = [(q, parser.parse(q)) for q in seen]
     plain: list[tuple[str, str, list[str]]] = []

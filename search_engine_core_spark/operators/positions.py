@@ -65,8 +65,8 @@ def position_rows(docs: DataFrame) -> DataFrame:
                 for b, e in zip(bounds, ends):
                     # stable sort keeps equal-key order -> positions ascending
                     pos = order[b:e].astype(np.uint64)
+                    # prepend=0 makes deltas[0] the absolute first position
                     deltas = np.diff(pos, prepend=np.uint64(0))
-                    deltas[0] = pos[0]
                     out["doc_id"].append(int(doc_id))
                     out["term"].append(str(uniques[sorted_codes[b]]))
                     out["npos"].append(int(e - b))

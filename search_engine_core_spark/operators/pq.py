@@ -125,10 +125,18 @@ def _lloyd(xs: np.ndarray, cent: np.ndarray, iters: int) -> np.ndarray:
         np.add.at(sums, assign, xs)
         nonempty = counts > 0
         cent[nonempty] = sums[nonempty] / counts[nonempty, None]
-        for empty in np.flatnonzero(~nonempty):
-            far = int(np.argmax(d2[np.arange(n), assign]))
-            cent[empty] = xs[far]
-            assign[far] = empty
+        # deterministic empty-cluster re-seed: walk the points in
+        # DECREASING distance-to-their-centroid order, one DISTINCT
+        # point per empty cluster. (Re-argmaxing a stale d2 inside the
+        # loop handed every empty cluster the SAME farthest point —
+        # duplicate centroids that stayed dead under lowest-index
+        # argmin ties; verified on [[0],[0],[0],[10]] with two empties.)
+        empties = np.flatnonzero(~nonempty)
+        if empties.size:
+            order = np.argsort(-d2[np.arange(n), assign], kind="stable")
+            for empty, far in zip(empties, order[: empties.size]):
+                cent[empty] = xs[int(far)]
+                assign[int(far)] = empty
     return cent
 
 

@@ -102,6 +102,36 @@ def test_tfidf_batch_routes_planner(ieng):
     assert [d for d, _ in got] == [d for d, _ in single]
 
 
+def test_fielded_batch_rank_identity(ieng, small_corpus):
+    """algorithm='fielded' batches through the flagship fielded scorer —
+    rank-identical per query to search(algorithm='fielded') on BOTH
+    engines (an unrouted batch used to crash in Planner.scored_ast
+    after paying the decode)."""
+    queries = ["spark merge", '"spark table" config', "lang:python spark"]
+    for engine in (ieng, SearchEngine(small_corpus)):
+        res = engine.search_many(queries, k=5, algorithm="fielded")
+        assert engine.last_batch_stats == {
+            "vectorized": 0, "planner": 0, "fielded": 3,
+        }
+        got = _by_query(res)
+        for q in queries:
+            single = [
+                (r["doc_id"], r["score"])
+                for r in engine.search(q, 5, algorithm="fielded").collect()
+            ]
+            batch = got.get(q, [])
+            assert [d for d, _ in batch] == [d for d, _ in single], q
+            for (_, gs), (_, ns) in zip(batch, single):
+                assert math.isclose(gs, ns, rel_tol=1e-9), q
+
+
+def test_search_wand_rejects_filters(ieng):
+    """A field filter changes result MEMBERSHIP; the explicit WAND entry
+    must refuse rather than silently score an unfiltered OR."""
+    with pytest.raises(ValueError, match="field filter"):
+        ieng.search_wand("lang:python spark", 5)
+
+
 def test_empty_batch(ieng):
     assert ieng.search_many([], k=5).count() == 0
 

@@ -48,6 +48,20 @@ def test_train_deterministic_and_shapes():
     assert not np.array_equal(b1, b3)
 
 
+def test_lloyd_reseeds_empty_clusters_distinctly():
+    """Two clusters going empty in one iteration must re-seed to DISTINCT
+    far points — re-argmaxing a stale d2 handed every empty cluster the
+    same row, leaving duplicate dead centroids."""
+    from search_engine_core_spark.operators.pq import _lloyd
+
+    xs = np.array([[0.0], [0.1], [0.2], [10.0], [20.0]])
+    # centroids 2 and 3 start far away -> both empty on the first assign
+    cent = np.array([[0.05], [15.0], [99.0], [98.0]])
+    out = _lloyd(xs, cent, iters=3)
+    # all four final centroids distinct: no duplicate re-seeds survive
+    assert len({float(c) for c in out.ravel()}) == 4
+
+
 def test_train_rejects_bad_dims():
     x = _clustered(600, 32)
     with pytest.raises(ValueError):
