@@ -1813,12 +1813,14 @@ SELECT id_a, id_b, cos_sim FROM (
   JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
 WHERE cos_sim >= 0.25
 """
-    # q45: gap-sessionization, 30-min gap, (ts, event_id) total order
+    # q45: gap-sessionization, 30-min gap, (ts, event_id) total order.
+    # MILLISECOND gaps (epoch_ms), matching sessionize_batch and the
+    # streaming fold — second-truncated epochs mis-split sub-second data
     o["q45_sessionize"] = """
 WITH s AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sid AS (

@@ -339,15 +339,19 @@ def curation_report(
         survivors = rep.filter(gate).select(
             id_col, F.col("text_deduped").alias("text")
         )
-        verdicts = perplexity_verdicts(
-            survivors, "text", id_col, **{"approx": False, **ppl_opts}
+        # checkpoint the SMALL verdicts frame (3 columns x docs), not the
+        # spine again: downstream consumers then re-run only a broadcast-
+        # size join over the already-checkpointed spine blocks, instead of
+        # re-materializing every staged text a second time
+        verdicts = (
+            perplexity_verdicts(
+                survivors, "text", id_col, **{"approx": False, **ppl_opts}
+            )
+            .select(id_col, "ppl", F.col("ppl_pass").alias("_pp"))
+            .localCheckpoint(eager=True)
         )
         rep = (
-            rep.join(
-                verdicts.select(id_col, "ppl", F.col("ppl_pass").alias("_pp")),
-                id_col,
-                "left",
-            )
+            rep.join(verdicts, id_col, "left")
             .withColumn("ppl_pass", F.when(gate, F.col("_pp")).otherwise(null_b))
             .drop("_pp")
         )
@@ -358,8 +362,12 @@ def curation_report(
         # checkpoint the report spine once: the cluster branch (below)
         # executes eagerly inside the component resolver, and the final
         # action would otherwise recompute the span-dedup shuffle and
-        # the Arrow repetition batch a second time.
-        rep = rep.localCheckpoint(eager=True)
+        # the Arrow repetition batch a second time. When the ppl stage
+        # already checkpointed the spine, rep is ckpt + one cheap join —
+        # re-checkpointing would duplicate every staged text in block
+        # storage for no added protection.
+        if ppl_opts is None:
+            rep = rep.localCheckpoint(eager=True)
         survivors = rep.filter(gate).select(
             id_col, F.col("text_deduped").alias("text")
         )

@@ -51,7 +51,12 @@ def hash_fraction(key: Column | str, seed: int = 0) -> Column:
     pinned on-disk format in this repo — ``functions/xxhash.py``)."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.xxhash64(c, F.lit(int(seed)))
-    return h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    frac = h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    # int64 -> double rounds hashes within 512 of 2**63 UP to exactly
+    # 2**63, making frac == 1.0 — outside the documented [0, 1) range and
+    # deterministically dropping those keys from rate-1.0 resamples;
+    # clamp to the largest double below 1.0 (~2**-54 of keys affected)
+    return F.least(frac, F.lit(1.0 - 2.0**-53))
 
 
 def hash_split(

@@ -144,6 +144,23 @@ def start_incremental_index(
     return writer.start()
 
 
+def _drop_if_drained(d: str) -> None:
+    """Drop a level-0 dir once fully drained (the delta-absent invariant
+    readers rely on) — kept if ANY data file or an in-flight Spark commit
+    (``_temporary``) is present, so a concurrent writer's floor is never
+    yanked out from under it."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(d)
+    except FileNotFoundError:
+        return
+    if any(e.endswith(".parquet") or e == "_temporary" for e in entries):
+        return
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _segment_ids(index_dir: str) -> list[int]:
     """Sorted immutable-segment ids present under ``segments/postings``."""
     import os
@@ -198,17 +215,63 @@ def minor_compact(
 
     Reference analog: RediSearch absorbing live HSET updates into its
     index while serving (``src/storage/RedisSearchStorage.cpp:127-172``).
+
+    Safe against a CONCURRENTLY APPENDING stream: the fold snapshots the
+    delta's part-file lists up front, folds only the batches whose docs
+    write is visible (foreachBatch writes triples then docs and batches
+    are sequential, so a batch visible in delta_docs has its triples
+    fully committed), and deletes exactly the files it folded — a
+    micro-batch landing mid-compaction survives in level-0 and folds on
+    the next tick, where the old ``rmtree`` silently destroyed it. (The
+    residual window — listing a batch's docs files during the ~ms of its
+    job commit — is inherited from non-transactional FS listing; a real
+    deployment's Iceberg commit closes it, as documented at every write
+    site.) Refuses a delta with no ``delta_docs`` at all: a segment
+    without doclens cannot be scored by the read path, so creating one
+    would silently corrupt results rather than fail.
     """
+    import glob
     import os
     import shutil
     import time
 
-    from pyspark.errors import AnalysisException
-
     from search_engine_core_spark.operators.postings import build_postings
     from search_engine_core_spark.sources.index_io import IndexBuilder, _bucket_expr
 
-    delta = delta_triples(spark, index_dir)
+    # docs listed FIRST: any batch whose docs are (fully) listed has its
+    # triples fully committed — the converse order could fold triples of
+    # a batch whose docs land after the listing
+    dfiles = sorted(glob.glob(f"{index_dir}/delta_docs/*.parquet"))
+    tfiles = sorted(glob.glob(f"{index_dir}/delta/*.parquet"))
+    if not tfiles:
+        return None
+    if not dfiles:
+        raise RuntimeError(
+            "minor_compact: delta has triples but no delta_docs — a "
+            "segment without doclens is unscorable by DeltaSearchEngine; "
+            "ingest docs alongside triples (start_incremental_index does) "
+            "or run compact_deltas for the degraded triples-only fold"
+        )
+    ddocs_raw = spark.read.parquet(*dfiles)
+    complete = [
+        r["batch_id"]
+        for r in ddocs_raw.select("batch_id").distinct().collect()
+    ]
+    traw = spark.read.parquet(*tfiles)
+    # file -> batch map (files are per-batch appends): drives the
+    # fold-exactly-what-you-delete contract below
+    fmap = (
+        traw.select(F.input_file_name().alias("f"), "batch_id")
+        .distinct()
+        .collect()
+    )
+    traw = traw.filter(F.col("batch_id").isin(complete))
+    # delta_triples' replay-dedup + latest-batch-wins, over the snapshot
+    deduped = traw.dropDuplicates(["doc_id", "term", "batch_id"])
+    latest_b = deduped.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    delta = deduped.join(latest_b, ["doc_id", "batch_id"]).select(
+        "doc_id", "term", "tf"
+    )
     if delta.isEmpty():
         return None
     t0 = time.monotonic()
@@ -229,26 +292,21 @@ def minor_compact(
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     shutil.move(tmp, dest)
 
-    try:
-        ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
-    except AnalysisException:
-        ddocs = None
-    if ddocs is not None:
-        latest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
-        ddocs = (
-            ddocs.dropDuplicates(["doc_id", "batch_id"])
-            .join(latest, ["doc_id", "batch_id"])
-            .drop("batch_id")
-        )
-        dtmp = f"{index_dir}/segments/_seg_docs_tmp"
-        shutil.rmtree(dtmp, ignore_errors=True)
-        ddocs.write.mode("overwrite").parquet(dtmp)
-        ddest = f"{index_dir}/segments/docs/seg={new_seg}"
-        os.makedirs(os.path.dirname(ddest), exist_ok=True)
-        shutil.move(dtmp, ddest)
+    latest = ddocs_raw.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    ddocs = (
+        ddocs_raw.dropDuplicates(["doc_id", "batch_id"])
+        .join(latest, ["doc_id", "batch_id"])
+        .drop("batch_id")
+    )
+    dtmp = f"{index_dir}/segments/_seg_docs_tmp"
+    shutil.rmtree(dtmp, ignore_errors=True)
+    ddocs.write.mode("overwrite").parquet(dtmp)
+    ddest = f"{index_dir}/segments/docs/seg={new_seg}"
+    os.makedirs(os.path.dirname(ddest), exist_ok=True)
+    shutil.move(dtmp, ddest)
 
     if os.path.isdir(f"{index_dir}/positions"):
-        if ddocs is not None and "content" in ddocs.columns:
+        if "content" in ddocs.columns:
             from search_engine_core_spark.operators.positions import (
                 POSITIONS_SCHEMA,
                 position_rows_arrow,
@@ -283,9 +341,30 @@ def minor_compact(
                 stacklevel=2,
             )
 
-    # level-0 drained: the folded rows now live in the immutable segment
-    shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)
-    shutil.rmtree(f"{index_dir}/delta_docs", ignore_errors=True)
+    # level-0 drained: delete EXACTLY the files folded — triples files
+    # whose every batch was complete, and the snapshotted docs files.
+    # Files appended by a live stream mid-compaction (or an incomplete
+    # batch's triples) survive for the next tick.
+    complete_set = set(complete)
+    folded = {r["f"] for r in fmap if r["batch_id"] in complete_set}
+    import urllib.parse as _up
+
+    def _local(p: str) -> str:
+        return _up.unquote(_up.urlparse(p).path)
+
+    for f in folded:
+        try:
+            os.remove(_local(f))
+        except FileNotFoundError:
+            pass
+    for f in dfiles:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+
+    _drop_if_drained(f"{index_dir}/delta")
+    _drop_if_drained(f"{index_dir}/delta_docs")
     IndexBuilder(spark, index_dir, n_buckets=n_buckets)._log_many(
         [("minor_compact", new_seg, "completed", 0, 0, 0,
           int((time.monotonic() - t0) * 1000))]
@@ -768,6 +847,32 @@ class DeltaSearchEngine(_PaginatedSearch):
         # immutable segments (minor-compacted delta generations)
         self.seg_ids = _segment_ids(index_dir)
         seg_docs_all = _segment_docs(spark, index_dir) if self.seg_ids else None
+        if self.seg_ids:
+            # a postings segment without its docs tree is UNSCORABLE (no
+            # doclens) and its triples would be silently dropped by the
+            # latest-wins semi-join — refuse loudly instead of serving
+            # wrong results. minor_compact cannot create this shape (it
+            # refuses docless deltas); a hand-built layout can.
+            import os as _os
+
+            droot = f"{index_dir}/segments/docs"
+            have = (
+                {
+                    int(d.split("=", 1)[1])
+                    for d in _os.listdir(droot)
+                    if d.startswith("seg=")
+                }
+                if _os.path.isdir(droot)
+                else set()
+            )
+            missing = [s for s in self.seg_ids if s not in have]
+            if missing:
+                raise RuntimeError(
+                    f"segments {missing} have postings but no docs tree — "
+                    "docless segments are unscorable (no doclens); rebuild "
+                    "them from a docs-bearing delta or fold them away with "
+                    "compact_deltas"
+                )
         if seg_docs_all is not None:
             latest = seg_docs_all.groupBy("doc_id").agg(F.max("seg").alias("seg"))
             # one row per doc, from its LATEST segment
@@ -829,18 +934,15 @@ class DeltaSearchEngine(_PaginatedSearch):
         common = [c for c in self.reader.docs.columns if c in self.delta_docs.columns]
         if not common:
             common = ["doc_id", "doclen"]
+        if self.seg_docs is not None:
+            common = [c for c in common if c in self.seg_docs.columns]
         docs = self.reader.docs.select(*common).join(
             self._sup_main, "doc_id", "left_anti"
         )
         if self.seg_docs is not None:
-            common = [c for c in common if c in self.seg_docs.columns]
-            docs = (
-                self.reader.docs.select(*common)
-                .join(self._sup_main, "doc_id", "left_anti")
-                .unionByName(
-                    self.seg_docs.select(*common).join(
-                        self.delta_docs.select("doc_id"), "doc_id", "left_anti"
-                    )
+            docs = docs.unionByName(
+                self.seg_docs.select(*common).join(
+                    self.delta_docs.select("doc_id"), "doc_id", "left_anti"
                 )
             )
         self.docs = docs.unionByName(self.delta_docs.select(*common))
@@ -1217,7 +1319,20 @@ def compact_deltas(
     postings; run it at the cadence where accumulated segment volume
     amortizes it, with :func:`minor_compact` (delta-sized cost) keeping
     level-0 drained in between (classic LSM level-0 -> level-1 merge).
+
+    Crash-safe and stream-safe (both previously unguarded): every
+    artifact builds into its ``*_compact_tmp`` FIRST, an inflight marker
+    is written, and only then do the five swaps run — a crash anywhere
+    is healed by :func:`recover_compaction` (marker present: roll the
+    swaps forward; absent: the index is untouched, drop abandoned tmps).
+    The delta is consumed by SNAPSHOTTED file list (complete batches
+    only, same discipline as :func:`minor_compact`) and exactly those
+    files are deleted at the end, so a concurrently appending stream
+    never loses a micro-batch to the compaction's rmtree.
     """
+    import glob
+    import os
+
     from search_engine_core_spark.operators.postings import (
         build_postings,
         decode_postings_df,
@@ -1226,8 +1341,46 @@ def compact_deltas(
 
     import time
 
+    recover_merge(index_dir)       # heal an interrupted segment merge
+    recover_compaction(index_dir)  # and an interrupted predecessor major
+
     t0 = time.monotonic()
-    delta = delta_triples(spark, index_dir)
+    dfiles = sorted(glob.glob(f"{index_dir}/delta_docs/*.parquet"))
+    tfiles = sorted(glob.glob(f"{index_dir}/delta/*.parquet"))
+    ddocs_raw = None
+    drop_files: list[str] = list(dfiles)
+    if tfiles:
+        traw = spark.read.parquet(*tfiles)
+        if dfiles:
+            ddocs_raw = spark.read.parquet(*dfiles)
+            complete = {
+                r["batch_id"]
+                for r in ddocs_raw.select("batch_id").distinct().collect()
+            }
+            import urllib.parse as _up
+
+            fmap = (
+                traw.select(F.input_file_name().alias("f"), "batch_id")
+                .distinct()
+                .collect()
+            )
+            drop_files += [
+                _up.unquote(_up.urlparse(r["f"]).path)
+                for r in fmap
+                if r["batch_id"] in complete
+            ]
+            traw = traw.filter(F.col("batch_id").isin(sorted(complete)))
+        else:
+            drop_files += tfiles  # degraded triples-only fold: take all
+        deduped = traw.dropDuplicates(["doc_id", "term", "batch_id"])
+        latest_b = deduped.groupBy("doc_id").agg(
+            F.max("batch_id").alias("batch_id")
+        )
+        delta = deduped.join(latest_b, ["doc_id", "batch_id"]).select(
+            "doc_id", "term", "tf"
+        )
+    else:
+        delta = spark.createDataFrame([], "doc_id long, term string, tf long")
     seg_ids = _segment_ids(index_dir)
     if delta.isEmpty() and not seg_ids:
         return
@@ -1279,14 +1432,15 @@ def compact_deltas(
     import shutil
 
     tmp = f"{index_dir}/postings_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     (
         postings.sortWithinPartitions("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)
     )
-    shutil.rmtree(f"{index_dir}/postings")
-    shutil.move(tmp, f"{index_dir}/postings")
+    # NO swap yet: every artifact builds its tmp first, then the marker
+    # gates the swap sequence (see the docstring's crash contract)
 
     # the docs table, corpus stats and dfreq must move WITH the postings,
     # or post-compaction readers score against a corpus that no longer
@@ -1296,16 +1450,13 @@ def compact_deltas(
     # write/rmtree/move failures must propagate — postings are already
     # rewritten, and swallowing them would leave docs/stats inconsistent
     # with the compacted postings
-    from pyspark.errors import AnalysisException
-
-    try:
-        ddocs = spark.read.parquet(f"{index_dir}/delta_docs")
-    except AnalysisException:
-        ddocs = None  # no delta_docs this cycle
-    if ddocs is not None:
-        dlatest = ddocs.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    ddocs = None
+    if ddocs_raw is not None:
+        dlatest = ddocs_raw.groupBy("doc_id").agg(
+            F.max("batch_id").alias("batch_id")
+        )
         ddocs = (
-            ddocs.dropDuplicates(["doc_id", "batch_id"])
+            ddocs_raw.dropDuplicates(["doc_id", "batch_id"])
             .join(dlatest, ["doc_id", "batch_id"])
             .drop("batch_id")
         )
@@ -1333,9 +1484,8 @@ def compact_deltas(
             .unionByName(upd_docs.select(*cols))
         )
         dtmp = f"{index_dir}/docs_compact_tmp"
+        shutil.rmtree(dtmp, ignore_errors=True)
         new_docs.write.mode("overwrite").parquet(dtmp)
-        shutil.rmtree(f"{index_dir}/docs")
-        shutil.move(dtmp, f"{index_dir}/docs")
 
     # the positional sidecar (if built) must move with the postings too:
     # superseded docs' stale positions out, updated docs' positions in —
@@ -1374,6 +1524,7 @@ def compact_deltas(
                 stacklevel=2,
             )
         ptmp = f"{index_dir}/positions_compact_tmp"
+        shutil.rmtree(ptmp, ignore_errors=True)
         (
             new_pos.repartition("bucket")
             .sortWithinPartitions("bucket", "term", "doc_id")
@@ -1381,31 +1532,92 @@ def compact_deltas(
             .partitionBy("bucket")
             .parquet(ptmp)
         )
-        shutil.rmtree(f"{index_dir}/positions")
-        shutil.move(ptmp, f"{index_dir}/positions")
-    docs_now = spark.read.parquet(f"{index_dir}/docs")
+    docs_now = (
+        new_docs
+        if upd_docs is not None
+        else spark.read.parquet(f"{index_dir}/docs")
+    )
     stats_df = docs_now.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
     )
+    shutil.rmtree(f"{index_dir}/stats_compact_tmp", ignore_errors=True)
     stats_df.write.mode("overwrite").parquet(f"{index_dir}/stats_compact_tmp")
-    shutil.rmtree(f"{index_dir}/stats")
-    shutil.move(f"{index_dir}/stats_compact_tmp", f"{index_dir}/stats")
-    post_now = spark.read.option("basePath", f"{index_dir}/postings").parquet(
-        f"{index_dir}/postings"
-    )
+    post_now = spark.read.option("basePath", tmp).parquet(tmp)
     new_dfreq = post_now.groupBy("term", "bucket").agg(F.sum("df").alias("df"))
+    shutil.rmtree(f"{index_dir}/dfreq_compact_tmp", ignore_errors=True)
     (
         new_dfreq.sortWithinPartitions("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_dir}/dfreq_compact_tmp")
     )
-    shutil.rmtree(f"{index_dir}/dfreq", ignore_errors=True)
-    shutil.move(f"{index_dir}/dfreq_compact_tmp", f"{index_dir}/dfreq")
-    shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)
-    shutil.rmtree(f"{index_dir}/delta_docs", ignore_errors=True)
-    shutil.rmtree(f"{index_dir}/segments", ignore_errors=True)
+    # every tmp is built -> write the marker, then swap. A crash before
+    # this line leaves the index untouched (recover drops the tmps); a
+    # crash after it rolls FORWARD (recover finishes the swaps and the
+    # level-0/segment deletions).
+    import json as _json
+
+    marker = f"{index_dir}/_compact_inflight.json"
+    with open(marker, "w") as fh:
+        _json.dump({"drop_files": sorted(drop_files)}, fh)
+    _finish_compact_swap(index_dir, sorted(drop_files))
+    os.remove(marker)
     IndexBuilder(spark, index_dir, n_buckets=n_buckets)._log_many(
         [("major_compact", 0, "completed", 0, 0, 0,
           int((time.monotonic() - t0) * 1000))]
     )
+
+
+_COMPACT_ARTIFACTS = ("postings", "docs", "positions", "stats", "dfreq")
+
+
+def _finish_compact_swap(index_dir: str, drop_files: list[str]) -> None:
+    """The swap step of :func:`compact_deltas`, shared with
+    :func:`recover_compaction` and idempotent at every interruption
+    point: each artifact whose ``*_compact_tmp`` still exists renames
+    into place (tmp gone = that swap already happened), then the folded
+    delta files delete (missing = already deleted), drained level-0 dirs
+    drop, and the segment tree goes last."""
+    import os
+    import shutil
+
+    for artifact in _COMPACT_ARTIFACTS:
+        tmp = f"{index_dir}/{artifact}_compact_tmp"
+        if os.path.isdir(tmp):
+            dest = f"{index_dir}/{artifact}"
+            shutil.rmtree(dest, ignore_errors=True)
+            shutil.move(tmp, dest)
+    for f in drop_files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    _drop_if_drained(f"{index_dir}/delta")
+    _drop_if_drained(f"{index_dir}/delta_docs")
+    # the segment tree always drops: its every row was folded into main,
+    # and a micro-batch surviving in level-0 supersedes main by doc_id
+    # with or without segments in between
+    shutil.rmtree(f"{index_dir}/segments", ignore_errors=True)
+
+
+def recover_compaction(index_dir: str) -> bool:
+    """Heal an interrupted :func:`compact_deltas`. Marker present: every
+    tmp was fully built before it was written, so roll the swaps forward
+    (returns True). No marker: the index was never touched — drop any
+    abandoned ``*_compact_tmp`` from a crash mid-build (returns False).
+    Idempotent; called automatically at the top of every
+    :func:`compact_deltas` run, or directly after a crash."""
+    import json as _json
+    import os
+    import shutil
+
+    marker = f"{index_dir}/_compact_inflight.json"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = _json.load(fh)
+        _finish_compact_swap(index_dir, meta.get("drop_files", []))
+        os.remove(marker)
+        return True
+    for artifact in _COMPACT_ARTIFACTS:
+        shutil.rmtree(f"{index_dir}/{artifact}_compact_tmp", ignore_errors=True)
+    return False

@@ -43,26 +43,32 @@ def windowed_event_counts(
     watermark: str | None = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """(window_start, window_end, key, n, total_value) per event-time
+    """(window_start, window_end, key, n[, total_value]) per event-time
     window. On a streaming frame the watermark bounds the state store and
     admits late rows up to the bound; on a batch frame it is skipped (no
-    state to bound)."""
+    state to bound). ``value_col=None`` (or a frame without the column)
+    yields counts only — the (ts, key) shape needs no value column."""
     # event-time ops (watermark, state timeout) require an instant type:
     # normalize TIMESTAMP_NTZ parquet columns to LTZ (session tz = UTC)
     df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide or window)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    cols = ["n"]
+    if value_col is not None and value_col in df.columns:
+        aggs.append(F.sum(value_col).alias("total_value"))
+        cols.append("total_value")
     return (
         df.groupBy(win.alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             key_col,
-            "n",
-            "total_value",
+            *cols,
         )
     )
 
@@ -101,6 +107,11 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState, gap_ms: in
         if t - last > gap_ms:
             out_rows.append((start, last, n))
             start, n = t, 0
+        # a cross-batch late arrival (in-watermark, before the open
+        # session's start) folds in and widens the span — the (start,
+        # last, n) state cannot retroactively re-SPLIT (documented
+        # one-pass approximation; see sessionize's docstring)
+        start = min(start, t)
         last = max(last, t)
         n += 1
     state.update((start, last, n))
@@ -127,15 +138,24 @@ def sessionize(
     (user, open-session); closed sessions emit incrementally, idle ones by
     event-time timeout. State size ~ concurrent users, independent of
     stream length — the property the batch window-sort formulation lacks.
-    ``gap_minutes`` matches :func:`sessionize_batch`'s parameter (the
-    stream/batch equivalence holds for any shared value)."""
+    ``gap_minutes`` matches :func:`sessionize_batch`'s parameter.
+
+    Stream/batch equivalence contract: exact when each user's events are
+    nondecreasing in event time ACROSS micro-batches (within a batch any
+    order is fine — the fold sorts). A cross-batch late arrival inside
+    the watermark folds into the open session, widening its span
+    (``start`` moves back); the (start, last, n) state cannot
+    retroactively re-split a session the way the batch oracle would —
+    the standard one-pass trade for state bounded by live sessions
+    rather than buffered events."""
     import functools
 
     fn = functools.partial(_session_fn, gap_ms=gap_minutes * 60 * 1000)
     return (
         events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
         .withWatermark(ts_col, watermark)
-        .select("user_id", ts_col)
+        # _session_fn reads pdf["ts"]: alias so non-default ts_col works
+        .select("user_id", F.col(ts_col).alias("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -162,11 +182,15 @@ def sessionize_batch(
     w = Window.partitionBy("user_id").orderBy(*order)
     # NTZ-safe epoch seconds (session tz is UTC): TIMESTAMP_NTZ refuses a
     # direct long cast in Spark 4
-    ep = F.unix_seconds(F.col(ts_col).cast("timestamp_ltz"))
+    # MILLISECOND gaps, same resolution as the streaming fold — second-
+    # truncated epochs disagreed with the stream on sub-second data
+    # (10:00:00.000 vs 10:30:00.500 is > a 30-min gap in ms, not in s)
+    ep = F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
     gap = ep - F.lag(ep).over(w)
     keep = ["user_id"] + order
     with_flag = events.select(*keep).withColumn(
-        "_new", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+        "_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60_000), 1).otherwise(0),
     )
     with_sid = with_flag.withColumn("_sid", F.sum("_new").over(w))
     return (

@@ -833,3 +833,151 @@ def test_stream_auto_compaction_maintains_lsm_shape(spark, tmp_path, small_corpu
         for (_, gs), (_, ws) in zip(got, exp):
             assert math.isclose(gs, ws, rel_tol=1e-9), qq
     ref.unpersist()
+
+
+def test_compact_crash_midswap_rolls_forward(spark, tmp_path, small_corpus):
+    """Fault-injected crash INSIDE compact_deltas' swap sequence (first
+    artifact already swapped): the inflight marker means every tmp was
+    fully built, so recover_compaction rolls FORWARD and the healed index
+    is rank-identical to an uninterrupted compaction twin."""
+    import os
+    import shutil as _sh
+
+    from search_engine_core_spark.engine import IndexSearchEngine
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.sources.validate import is_clean, validate_index
+    from search_engine_core_spark.streaming.incremental import (
+        compact_deltas,
+        minor_compact,
+        recover_compaction,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    kw = dict(n_buckets=4, hot_df_threshold=100, n_shards=4)
+
+    def build_two(where):
+        idx = str(tmp_path / where)
+        IndexBuilder(spark, idx, **kw).build(base.filter(h == 0))
+        inbox, ckpt = str(tmp_path / f"{where}_in"), str(tmp_path / f"{where}_ck")
+        base.filter(h == 1).write.parquet(f"{inbox}/b1")
+        _stream(spark, inbox, idx, ckpt)
+        assert minor_compact(spark, idx, **kw) == 0
+        return idx
+
+    # twin A: clean compaction
+    idx_a = build_two("a")
+    compact_deltas(spark, idx_a, **kw)
+    eng_a = IndexSearchEngine(spark, idx_a, n_buckets=4)
+    queries = ["spark merge", "return OR token"]
+    want = {q: [(r["doc_id"], r["score"]) for r in eng_a.search(q, 10).collect()]
+            for q in queries}
+
+    # twin B: crash after the first artifact swap
+    idx_b = build_two("b")
+    budget = {"left": 1}
+    real_move = _sh.move
+
+    def flaky(src, dst):
+        if budget["left"] == 0:
+            raise RuntimeError("injected crash")
+        budget["left"] -= 1
+        return real_move(src, dst)
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(_sh, "move", flaky)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_deltas(spark, idx_b, **kw)
+    finally:
+        mp.undo()
+    assert os.path.exists(f"{idx_b}/_compact_inflight.json")
+    assert recover_compaction(idx_b) is True
+    assert not os.path.exists(f"{idx_b}/_compact_inflight.json")
+    assert not os.path.isdir(f"{idx_b}/segments")
+    eng_b = IndexSearchEngine(spark, idx_b, n_buckets=4)
+    for q in queries:
+        got = [(r["doc_id"], r["score"]) for r in eng_b.search(q, 10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want[q]], q
+        for (_, gs), (_, ws) in zip(got, want[q]):
+            assert math.isclose(gs, ws, rel_tol=1e-9), q
+    assert is_clean(validate_index(spark, idx_b, 4, deep=True))
+    # no-marker recovery is a no-op that reports False
+    assert recover_compaction(idx_b) is False
+
+
+def test_minor_compact_folds_only_complete_batches(spark, tmp_path,
+                                                   small_corpus):
+    """A batch whose docs write hasn't landed (the mid-commit shape a
+    live stream produces) must SURVIVE minor_compact in level-0 and fold
+    on the next tick — the old rmtree silently destroyed it."""
+    import glob
+    import os
+
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.operators.stats import triples
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        minor_compact,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(3))
+    idx = str(tmp_path / "idx")
+    kw = dict(n_buckets=4, hot_df_threshold=100, n_shards=4)
+    IndexBuilder(spark, idx, **kw).build(base.filter(h == 0))
+
+    def write_batch(part, batch_id, docs_too=True):
+        docs = with_doc_columns(part).withColumn("batch_id", F.lit(batch_id))
+        triples(with_doc_columns(part)).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(f"{idx}/delta")
+        if docs_too:
+            docs.write.mode("append").parquet(f"{idx}/delta_docs")
+
+    write_batch(base.filter(h == 1), 0, docs_too=True)
+    write_batch(base.filter(h == 2), 1, docs_too=False)  # docs in flight
+    assert minor_compact(spark, idx, **kw) == 0
+    # batch 1's triples survived in level-0
+    assert glob.glob(f"{idx}/delta/*.parquet")
+    # docs write lands -> next tick folds it
+    with_doc_columns(base.filter(h == 2)).withColumn(
+        "batch_id", F.lit(1)
+    ).write.mode("append").parquet(f"{idx}/delta_docs")
+    assert minor_compact(spark, idx, **kw) == 1
+    assert not os.path.isdir(f"{idx}/delta")
+    eng = DeltaSearchEngine(spark, idx, n_buckets=4)
+    n_docs = eng.stats.n_docs
+    assert n_docs == base.count()  # nothing lost across the two folds
+
+
+def test_minor_compact_refuses_docless_delta(spark, tmp_path, small_corpus):
+    """A delta with no delta_docs cannot become a segment (no doclens ->
+    unscorable); minor_compact raises and the engine refuses a hand-built
+    docless segment instead of silently dropping its triples."""
+    import os
+
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.operators.stats import triples
+    from search_engine_core_spark.sources.index_io import IndexBuilder
+    from search_engine_core_spark.streaming.incremental import (
+        DeltaSearchEngine,
+        minor_compact,
+    )
+
+    base = small_corpus.select("repo", "path", "commit", "lang", "content")
+    h = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    idx = str(tmp_path / "idx")
+    kw = dict(n_buckets=4, hot_df_threshold=100, n_shards=4)
+    IndexBuilder(spark, idx, **kw).build(base.filter(h == 0))
+    triples(with_doc_columns(base.filter(h == 1))).withColumn(
+        "batch_id", F.lit(0)
+    ).write.mode("append").parquet(f"{idx}/delta")
+    with pytest.raises(RuntimeError, match="no delta_docs"):
+        minor_compact(spark, idx, **kw)
+    # hand-built docless segment -> engine refuses loudly
+    os.makedirs(f"{idx}/segments", exist_ok=True)
+    shutil.copytree(f"{idx}/postings", f"{idx}/segments/postings/seg=0")
+    with pytest.raises(RuntimeError, match="no docs tree"):
+        DeltaSearchEngine(spark, idx, n_buckets=4)
