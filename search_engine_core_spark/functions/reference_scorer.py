@@ -341,10 +341,25 @@ def score_results(
     ).filter(F.col("score") >= cfg.min_score)
 
     if cfg.normalize:
-        w = Window.partitionBy()
-        lo, hi = F.min("score").over(w), F.max("score").over(w)
-        scored = scored.withColumn(
-            "score", F.when(hi - lo > 0, (F.col("score") - lo) / (hi - lo)).otherwise(F.col("score"))
+        # global min/max via a ONE-ROW aggregate broadcast back in — an
+        # unpartitioned Window would funnel the whole scored set through
+        # a single task to compute the same two numbers
+        bounds = F.broadcast(
+            scored.agg(
+                F.min("score").alias("_lo"), F.max("score").alias("_hi")
+            )
+        )
+        scored = (
+            scored.crossJoin(bounds)
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("_hi") - F.col("_lo") > 0,
+                    (F.col("score") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")),
+                ).otherwise(F.col("score")),
+            )
+            .drop("_lo", "_hi")
         )
     scored = scored.orderBy(F.desc("score"), F.asc("url"))
     return scored.limit(top_k) if top_k else scored
@@ -373,13 +388,32 @@ def fielded_topk(docs: DataFrame, query: str, k: int = 10,
     never the whole corpus (``SearchScorer.cpp:603-622``). At 100 TB this
     is the difference between a per-query full-corpus scan and a
     postings-pruned candidate set; engines pass their triples/decoded
-    postings, callers without an index may omit it (full scan)."""
+    postings, callers without an index may omit it (full scan).
+    The index triples cover CONTENT only, so the candidate set also
+    admits docs whose title (path) contains a query token — a map-side
+    predicate over the docs table's path column, no extra scan shape —
+    or a title-only match (path='setup.py', content without 'setup')
+    would be silently unscorable through the pruned path while scoring
+    fine on the full scan. Phrase hits buried mid-identifier are NOT
+    widened: the reference's own FT.SEARCH candidates are token-based,
+    so the pruned path matches reference recall there (the no-trip full
+    scan is strictly more generous, documented deviation)."""
     if trip is not None:
         terms, phrases = _extract_query(query)
         toks = list(dict.fromkeys(terms + [t for p in phrases for t in tokenize_py(p)]))
         if toks:
             cand = trip.filter(F.col("term").isin(toks)).select("doc_id").distinct()
-            docs = docs.join(cand, "doc_id", "left_semi")
+            lp = F.lower(F.coalesce(F.col("path"), F.lit("")))
+            title_hit = F.lit(False)
+            for t in toks:
+                title_hit = title_hit | F.contains(lp, F.lit(t))
+            docs = (
+                docs.join(
+                    cand.withColumn("_hit", F.lit(1)), "doc_id", "left"
+                )
+                .filter((F.col("_hit") == 1) | title_hit)
+                .drop("_hit")
+            )
     fielded = docs.select(
         F.col("doc_id"),
         F.concat_ws("/", F.coalesce(F.col("repo"), F.lit("")), F.col("path")).alias("url"),

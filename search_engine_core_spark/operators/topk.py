@@ -232,8 +232,17 @@ class WandTopK:
         sums to (doc_id, score); the LSM tier scorer also counts distinct
         matched terms for AND semantics."""
         n, avgdl = self.stats.n_docs, self.stats.avgdl
-        df_map = F.create_map(
-            *[x for t, (d, _) in term_stats.items() for x in (F.lit(t), F.lit(float(d)))]
+        # idf precomputed DRIVER-SIDE with np.log, the same _idf every
+        # other WAND path uses (seed decode, tier scorer): a 1-ULP drift
+        # between np.log and the JVM's log is enough to flip an exact tie
+        # group at the k boundary, so survivors must not be the one path
+        # scored with F.log
+        idf_map = F.create_map(
+            *[
+                x
+                for t, (d, _) in term_stats.items()
+                for x in (F.lit(t), F.lit(_idf(float(d), n)))
+            ]
         )
         doclen = self.docs.select("doc_id", "doclen")
         # trip is bounded (seed_cap x query terms); broadcasting it turns
@@ -242,10 +251,7 @@ class WandTopK:
         # difference between a per-query exchange and a column-pruned scan
         per = (
             doclen.join(F.broadcast(trip), "doc_id", "inner")
-            .withColumn("df", df_map[F.col("term")])
-            .withColumn(
-                "idf", F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            )
+            .withColumn("idf", idf_map[F.col("term")])
             .withColumn(
                 "ts",
                 F.col("idf")
@@ -550,9 +556,9 @@ class WandTopK:
             )
         # exact scoring for survivors: block-targeted decode of ALL their
         # terms (survivors hold no rarest-term postings by construction)
-        extra_trip = decode_postings_for_docs(rest_post, extra_ids)
+        surv_trip = decode_postings_for_docs(rest_post, extra_ids)
         extra_top = (
-            self._score_exact(extra_trip, term_stats)
+            self._score_exact(surv_trip, term_stats)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()

@@ -123,6 +123,13 @@ class Planner:
                         .filter(F.instr(F.lower(F.col("content")), F.lit(phrase)) > 0)
                         .select("doc_id")
                     )
+            if "content" not in self.docs.columns:
+                raise ValueError(
+                    "exact-phrase query on a slim index without a "
+                    "positions sidecar: substring verification needs the "
+                    "content column — attach_content(corpus) or rebuild "
+                    "with positions=True"
+                )
             base = self.docs
             if toks:
                 base = base.join(self._docs_with_all_terms(toks), "doc_id", "left_semi")
@@ -137,13 +144,17 @@ class Planner:
     def _docs_with_all_terms(self, toks: list[str]) -> DataFrame:
         # groupBy-having beats an n-way self-join: one shuffle, no skew
         # amplification. isin() pushes into the triples scan.
-        matched = self.trip.filter(F.col("term").isin(toks))
-        if len(toks) == 1:
+        # DISTINCT tokens: trip holds one row per (doc, term), so a
+        # repeated token ("data data" as one phrase/term) must count
+        # once — comparing against len(toks) made such terms unmatchable
+        uniq = list(dict.fromkeys(toks))
+        matched = self.trip.filter(F.col("term").isin(uniq))
+        if len(uniq) == 1:
             return matched.select("doc_id")
         return (
             matched.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("_nt"))
-            .filter(F.col("_nt") == len(toks))
+            .filter(F.col("_nt") == len(uniq))
             .select("doc_id")
         )
 
@@ -164,8 +175,19 @@ class Planner:
                 toks = sorted({t for c in node.children for t in tokenize_py(c.value)})
                 if toks:
                     return self._docs_with_all_terms(toks)
-            out = self.candidates(node.children[0])
-            for child in node.children[1:]:
+            # a plain term with NO canonical tokens (e.g. a 1-char word)
+            # is ignored, matching the collapsed branch above — routing
+            # it through _term_docs would return the empty set and
+            # annihilate the whole conjunction
+            kids = [
+                c for c in node.children
+                if not (isinstance(c, Term) and not c.exact
+                        and not tokenize_py(c.value))
+            ]
+            if not kids:
+                return self.docs.select("doc_id").limit(0)
+            out = self.candidates(kids[0])
+            for child in kids[1:]:
                 out = out.join(self.candidates(child), "doc_id", "left_semi")
             return out
         if isinstance(node, Or):
@@ -214,6 +236,12 @@ class Planner:
         (F3 deviation, identical for alnum terms in natural text)."""
         if not terms:
             return cand.withColumn("score", F.lit(0.0))
+        if "content" not in self.docs.columns:
+            raise ValueError(
+                "algorithm='tfidf' normalizes by CHARACTER length and "
+                "needs the content column: slim index readers must "
+                "attach_content(corpus) first"
+            )
         q_trip = self.trip.filter(F.col("term").isin(terms))
         q_df = self.dfreq.filter(F.col("term").isin(terms))
         per_term = q_trip.join(cand, "doc_id", "left_semi")

@@ -357,7 +357,31 @@ class EmbeddingIndexBuilder:
                 f"no embedding index at {self.index_dir} (meta.json missing)"
             )
         with open(self._meta_path()) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if meta.get("n_vecs") is None or meta.get("partitioned_by") is None:
+            # build() commits meta BEFORE the vectors write (the resume
+            # anchor); a crash in between leaves these None — surface a
+            # clear state error instead of a TypeError deep in a plan
+            raise RuntimeError(
+                f"embedding index at {self.index_dir} is a partial build "
+                "(meta committed, vectors write unfinished) — re-run "
+                "EmbeddingIndexBuilder.build(...) to resume before "
+                "querying or mutating it"
+            )
+        return meta
+
+    @staticmethod
+    def _partition_cond(locs: set[tuple], part_cols: list[str]):
+        """OR-of-conjunctions partition predicate for a set of (bucket[,
+        cell]) locations — ONE implementation for upsert and delete, so
+        the partition-pruning contract cannot drift between them."""
+        cond = None
+        for vals in locs:
+            c = F.lit(True)
+            for col, v in zip(part_cols, vals):
+                c = c & (F.col(col) == int(v))
+            cond = c if cond is None else (cond | c)
+        return cond
 
     def _vectors(self) -> DataFrame:
         return self.spark.read.option(
@@ -563,15 +587,9 @@ class EmbeddingIndexBuilder:
         target = before | self._part_dirs(new_locs, part_cols)
         n_replaced = sum(r["c"] for r in old_parts)
 
-        cond = None
-        for vals in target:
-            c = F.lit(True)
-            for col, v in zip(part_cols, vals):
-                c = c & (F.col(col) == int(v))
-            cond = c if cond is None else (cond | c)
         kept = (
             self._vectors()
-            .filter(cond)
+            .filter(self._partition_cond(target, part_cols))
             .join(ids, "vec_id", "left_anti")
             .select("vec_id", "embedding", "bucket", "cell")
         )
@@ -612,15 +630,9 @@ class EmbeddingIndexBuilder:
         if n == 0:
             return 0
         before = self._part_dirs(doomed_parts, part_cols)
-        cond = None
-        for vals in before:
-            c = F.lit(True)
-            for col, v in zip(part_cols, vals):
-                c = c & (F.col(col) == int(v))
-            cond = c if cond is None else (cond | c)
         kept = (
             self._vectors()
-            .filter(cond)
+            .filter(self._partition_cond(before, part_cols))
             .join(doomed.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "embedding", "bucket", "cell")
         )
@@ -645,6 +657,15 @@ class EmbeddingIndex:
         self.index_dir = index_dir
         with open(f"{index_dir}/meta.json") as f:
             self.meta = json.load(f)
+        if (
+            self.meta.get("n_vecs") is None
+            or self.meta.get("partitioned_by") is None
+        ):
+            raise RuntimeError(
+                f"embedding index at {index_dir} is a partial build (meta "
+                "committed, vectors write unfinished) — re-run "
+                "EmbeddingIndexBuilder.build(...) to resume before opening"
+            )
         self.planes: list[list[float]] = self.meta["hyperplanes"]
         self.centroids: list[list[float]] = self.meta["centroids"]
 

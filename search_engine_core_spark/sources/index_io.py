@@ -205,6 +205,12 @@ class IndexBuilder:
                 _write_docs()
                 if docs_err:
                     raise docs_err[0]
+                # the docs write just finished, so its Observation is
+                # immediately available — stash n_docs NOW so the hot-term
+                # sampler never pays a count job on a fresh build (it read
+                # getattr(self, '_n_docs') which _finish_docs_and_stats
+                # only sets AFTER the postings stage)
+                self._n_docs = int(obs.get["n_docs"])
         else:
             t0_docs = None
 
