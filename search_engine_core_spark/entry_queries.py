@@ -203,17 +203,15 @@ def _assert_reads_postings(eng: IndexSearchEngine, terms: list[str]) -> None:
 
 
 def _assert_wand_identity(
-    eng: IndexSearchEngine, terms: list[str], mode: str, scored: DataFrame, k: int
+    eng: IndexSearchEngine, terms: list[str], mode: str, naive: list[tuple], k: int
 ) -> None:
     """Driver-visible WAND validation: block-max WAND's top-k over the
     compressed index must be rank-identical (doc ids exact, scores to
     1e-9 rel) to the full scored set's raw-score top-k — same contract as
     ``tests/test_index_materialized.py::test_wand_matches_naive``, but
-    now a failure is a RED DRIVER ROW, not a pytest-only fact."""
-    naive = [
-        (r["doc_id"], r["score"])
-        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    ]
+    now a failure is a RED DRIVER ROW, not a pytest-only fact. ``naive``
+    is the raw-score top-k list the entry already materialized (r6: the
+    scored plan used to run once per consumer — bench "What's wrong #1")."""
     got = [
         (r["doc_id"], r["score"])
         for r in eng.wand.topk(terms, k, mode=mode).collect()
@@ -368,7 +366,7 @@ def _assert_snapshot_restore(
 
 
 def _assert_lsm_identity(
-    spark: SparkSession, sf_dir: str, query: str, scored: DataFrame, k: int
+    spark: SparkSession, sf_dir: str, query: str, naive: list[tuple], k: int
 ) -> None:
     """Driver-visible LSM read-path validation: the segment-tiered
     engine's top-k over [main ∖ superseded ⊎ segment (stale rows
@@ -378,11 +376,8 @@ def _assert_lsm_identity(
     but a precedence/merge regression here is a RED DRIVER ROW. The
     segment deliberately holds STALE content (extra tokens shift doclen,
     df and every BM25 score), so leaking a superseded row or dropping a
-    live segment row both surface as drift."""
-    naive = [
-        (r["doc_id"], r["score"])
-        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    ]
+    live segment row both surface as drift. ``naive`` is the raw-score
+    top-k the entry already materialized (one scored-plan run, r6)."""
     got = [
         (r["doc_id"], r["score"])
         for r in _lsm_engine(spark, sf_dir).search(query, k).collect()
@@ -477,10 +472,24 @@ def _q_bm25(query: str, k: int = 10, algorithm: str = "bm25", lsm_check: bool = 
         _assert_reads_postings(eng, terms)
         scored = eng._planner(terms).scored_ast(ast, algorithm)
         mode = eng._wand_mode(ast)
-        if algorithm == "bm25" and mode is not None:
-            _assert_wand_identity(eng, terms, mode, scored, k)
-        if lsm_check and algorithm == "bm25":
-            _assert_lsm_identity(spark, sf_dir, query, scored, k)
+        wand_check = algorithm == "bm25" and mode is not None
+        lsm = lsm_check and algorithm == "bm25"
+        if wand_check or lsm:
+            # ONE materialization of the scored set feeds the WAND
+            # cross-check, the LSM cross-check AND the emitted ranking
+            # (r6 — the entry used to run the scored plan once per
+            # consumer, so the benched line priced validation twice:
+            # r5 VERDICT "What's wrong #1" / "Next round #7"). The
+            # collected raw doubles round-trip exactly through the local
+            # relation, and the rounding/ordering below stays IN SPARK,
+            # so emitted rows are bit-identical to the lazy plan's.
+            rows = [(r["doc_id"], r["score"]) for r in scored.collect()]
+            naive = sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+            if wand_check:
+                _assert_wand_identity(eng, terms, mode, naive, k)
+            if lsm:
+                _assert_lsm_identity(spark, sf_dir, query, naive, k)
+            scored = spark.createDataFrame(rows, "doc_id long, score double")
         return _ranked(scored, k)
 
     return fn

@@ -94,6 +94,9 @@ from search_engine_core_spark.functions.textprims import (  # noqa: E402
 from search_engine_core_spark.functions.textprims import (  # noqa: E402
     ws_words as _words,
 )
+from search_engine_core_spark.functions.textprims import (  # noqa: E402
+    bind_once as _bind_once,
+)
 
 
 def _safe_ratio(num: Column, den: Column) -> Column:
@@ -115,18 +118,14 @@ def _substr_count(text: Column, sub: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def gopher_quality_signals(text: Column | str) -> Column:
-    """struct of the raw Appendix-A quality metrics for one document:
-    ``n_words``, ``mean_word_len``, ``hash_word_ratio``,
-    ``ellipsis_word_ratio``, ``bullet_line_frac``, ``ellipsis_line_frac``,
-    ``alpha_word_frac``, ``n_required_stopwords``."""
-    t = _text(text)
-    words = _words(t)
+def _quality_signals_of(p: Column) -> Column:
+    """Signals struct from a bound (t, w, l) payload — every reference
+    to the word/line arrays is an attribute read, never a re-split."""
+    t, words, lines = p["t"], p["w"], p["l"]
     n_words = F.size(words)
     total_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
-    lines = _lines(t)
     n_lines = F.size(lines)
 
     # NB: higher-order F.filter dispatches on the lambda's arity, so the
@@ -143,11 +142,16 @@ def gopher_quality_signals(text: Column | str) -> Column:
     )
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
 
-    words_lc = F.transform(words, lambda w: F.lower(w))
-    n_stop = None
-    for s in GOPHER_REQUIRED_STOPWORDS:
-        hit = F.array_contains(words_lc, s).cast("int")
-        n_stop = hit if n_stop is None else n_stop + hit
+    def _stop_count(wlc: Column) -> Column:
+        n_stop = None
+        for s in GOPHER_REQUIRED_STOPWORDS:
+            hit = F.array_contains(wlc, s).cast("int")
+            n_stop = hit if n_stop is None else n_stop + hit
+        return n_stop
+
+    # bind the lowercased copy once: referenced inline, the 8 stopword
+    # membership probes would each re-lowercase the whole word array
+    n_stop = _bind_once(F.transform(words, lambda w: F.lower(w)), _stop_count)
 
     n_ellipsis = _substr_count(t, "...") + _substr_count(t, "…")
     return F.struct(
@@ -160,6 +164,22 @@ def gopher_quality_signals(text: Column | str) -> Column:
         _safe_ratio(n_alpha, n_words).alias("alpha_word_frac"),
         n_stop.alias("n_required_stopwords"),
     )
+
+
+def gopher_quality_signals(text: Column | str) -> Column:
+    """struct of the raw Appendix-A quality metrics for one document:
+    ``n_words``, ``mean_word_len``, ``hash_word_ratio``,
+    ``ellipsis_word_ratio``, ``bullet_line_frac``, ``ellipsis_line_frac``,
+    ``alpha_word_frac``, ``n_required_stopwords``.
+
+    The word and line arrays are computed ONCE via ``bind_once``
+    (r6): these higher-order trees run interpreted with no
+    subexpression elimination, so inline references re-split the
+    document at every metric (guide §4.4's duplicated-evaluation
+    trap)."""
+    t = _text(text)
+    payload = F.struct(t.alias("t"), _words(t).alias("w"), _lines(t).alias("l"))
+    return _bind_once(payload, _quality_signals_of)
 
 
 def gopher_quality_pass(
@@ -175,17 +195,22 @@ def gopher_quality_pass(
     min_required_stopwords: int = 2,
 ) -> Column:
     """Boolean: the document survives every Appendix-A quality rule at
-    the paper's thresholds (all overridable)."""
-    s = gopher_quality_signals(text)
-    return (
-        s["n_words"].between(min_words, max_words)
-        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
-        & (s["hash_word_ratio"] <= max_symbol_word_ratio)
-        & (s["ellipsis_word_ratio"] <= max_symbol_word_ratio)
-        & (s["bullet_line_frac"] <= max_bullet_line_frac)
-        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
-        & (s["alpha_word_frac"] >= min_alpha_word_frac)
-        & (s["n_required_stopwords"] >= min_required_stopwords)
+    the paper's thresholds (all overridable). The signals struct is
+    bound once (r6) — referenced inline, the eight threshold checks
+    would each re-evaluate the full signals tree (interpreted
+    higher-order expressions get no subexpression elimination)."""
+    return _bind_once(
+        gopher_quality_signals(text),
+        lambda s: (
+            s["n_words"].between(min_words, max_words)
+            & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+            & (s["hash_word_ratio"] <= max_symbol_word_ratio)
+            & (s["ellipsis_word_ratio"] <= max_symbol_word_ratio)
+            & (s["bullet_line_frac"] <= max_bullet_line_frac)
+            & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+            & (s["alpha_word_frac"] >= min_alpha_word_frac)
+            & (s["n_required_stopwords"] >= min_required_stopwords)
+        ),
     )
 
 
@@ -369,31 +394,44 @@ def gopher_repetition_signals(text: Column | str, impl: str = "pandas") -> Colum
         return _repetition_signals_pandas(text)
     if impl != "expr":
         raise ValueError(f"gopher_repetition_signals: unknown impl {impl!r}")
-    t = _text(text)
-    total = F.length(t)
-    words = _words(t)
+    t0 = _text(text)
+    # bind the text + word/line/paragraph splits once (r6): the metric
+    # expressions below reference them many times, and inline references
+    # re-split per use (interpreted higher-order trees, guide §4.4)
+    payload = F.struct(
+        t0.alias("t"),
+        _words(t0).alias("w"),
+        _lines(t0).alias("l"),
+        _lines(t0, para=True).alias("pp"),
+    )
 
-    ln, ldup, lchars = _dup_stats(_lines(t))
-    pn, pdup, pchars = _dup_stats(_lines(t, para=True))
-    fields = [
-        _safe_ratio(ldup, ln).alias("dup_line_frac"),
-        _safe_ratio(lchars, total).alias("dup_line_char_frac"),
-        _safe_ratio(pdup, pn).alias("dup_para_frac"),
-        _safe_ratio(pchars, total).alias("dup_para_char_frac"),
-    ]
-    for n in _TOP_NGRAM_THRESHOLDS:
-        fields.append(
-            _safe_ratio(_top_ngram_chars(words, n), total).alias(
-                f"top_{n}gram_char_frac"
+    def _signals_of(p: Column) -> Column:
+        t, words = p["t"], p["w"]
+        total = F.length(t)
+
+        ln, ldup, lchars = _dup_stats(p["l"])
+        pn, pdup, pchars = _dup_stats(p["pp"])
+        fields = [
+            _safe_ratio(ldup, ln).alias("dup_line_frac"),
+            _safe_ratio(lchars, total).alias("dup_line_char_frac"),
+            _safe_ratio(pdup, pn).alias("dup_para_frac"),
+            _safe_ratio(pchars, total).alias("dup_para_char_frac"),
+        ]
+        for n in _TOP_NGRAM_THRESHOLDS:
+            fields.append(
+                _safe_ratio(_top_ngram_chars(words, n), total).alias(
+                    f"top_{n}gram_char_frac"
+                )
             )
-        )
-    for n in _DUP_NGRAM_THRESHOLDS:
-        fields.append(
-            _safe_ratio(_dup_ngram_chars(words, n), total).alias(
-                f"dup_{n}gram_char_frac"
+        for n in _DUP_NGRAM_THRESHOLDS:
+            fields.append(
+                _safe_ratio(_dup_ngram_chars(words, n), total).alias(
+                    f"dup_{n}gram_char_frac"
+                )
             )
-        )
-    return F.struct(*fields)
+        return F.struct(*fields)
+
+    return _bind_once(payload, _signals_of)
 
 
 def gopher_repetition_pass(
@@ -427,18 +465,28 @@ def gopher_repetition_pass(
             f"(top: {sorted(bad_tops)}, dup: {sorted(bad_dups)}); signals cover "
             f"top {sorted(_TOP_NGRAM_THRESHOLDS)} and dup {sorted(_DUP_NGRAM_THRESHOLDS)}"
         )
+    def _cond_of(s: Column) -> Column:
+        cond = (
+            (s["dup_line_frac"] <= max_dup_line_frac)
+            & (s["dup_para_frac"] <= max_dup_para_frac)
+            & (s["dup_line_char_frac"] <= max_dup_line_char_frac)
+            & (s["dup_para_char_frac"] <= max_dup_para_char_frac)
+        )
+        for n, th in tops.items():
+            cond = cond & (s[f"top_{n}gram_char_frac"] <= th)
+        for n, th in dups.items():
+            cond = cond & (s[f"dup_{n}gram_char_frac"] <= th)
+        return cond
+
     s = gopher_repetition_signals(text, impl=impl)
-    cond = (
-        (s["dup_line_frac"] <= max_dup_line_frac)
-        & (s["dup_para_frac"] <= max_dup_para_frac)
-        & (s["dup_line_char_frac"] <= max_dup_line_char_frac)
-        & (s["dup_para_char_frac"] <= max_dup_para_char_frac)
-    )
-    for n, th in tops.items():
-        cond = cond & (s[f"top_{n}gram_char_frac"] <= th)
-    for n, th in dups.items():
-        cond = cond & (s[f"dup_{n}gram_char_frac"] <= th)
-    return cond
+    if impl == "expr":
+        # bind once: the 13 field references would each re-evaluate the
+        # whole interpreted signals tree. The pandas impl must NOT be
+        # bound (Python UDFs cannot be extracted out of lambda bodies);
+        # its field references already share one ArrowEvalPython via
+        # identical-UDF deduplication (plan-asserted in tests).
+        return _bind_once(s, _cond_of)
+    return _cond_of(s)
 
 
 def split_gopher_thresholds(thresholds: dict) -> tuple[dict, dict]:

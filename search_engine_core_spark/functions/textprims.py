@@ -13,7 +13,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["text_or_empty", "strip_ws", "ws_words", "split_lines"]
+__all__ = [
+    "text_or_empty",
+    "strip_ws",
+    "ws_words",
+    "split_lines",
+    "bind_once",
+]
+
+
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once and feed the value to ``fn``.
+
+    Catalyst inlines non-attribute subtrees at every reference, and
+    expression trees containing higher-order functions fall back to the
+    INTERPRETED evaluator, which performs no subexpression elimination —
+    so N references to a split/regex-bearing expression cost N full
+    evaluations (measured 5x on the C4 filter, ~20x per-element inside
+    transform lambdas). Binding the expression through a one-element
+    higher-order ``transform`` makes it a lambda variable: evaluated
+    once, every reference a cheap attribute read. ``fn`` receives the bound
+    Column and returns any Column; works inside projections AND filter
+    conditions (where a plain projection barrier would be pushed
+    through and re-inlined)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
 def text_or_empty(text: Column | str) -> Column:

@@ -90,11 +90,15 @@ def connected_components(
     (see the module docstring for the O(log²) alternative).
     """
     _require_integral_ids(pairs, id_a, id_b, "connected_components")
+    # materialize the (small) pair set ONCE: edges and vertices both
+    # derive from it, and without this checkpoint the caller's pair
+    # GENERATOR pipeline (e.g. the full MinHash-LSH stack) executes
+    # twice — measured as half the whole dedup_cc bench line at sf1.0
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -104,8 +108,8 @@ def connected_components(
     # appearing only in self-loop pairs still self-roots in the output
     # ("one row for every id appearing in pairs")
     verts = (
-        pairs.select(F.col(id_a).cast("long").alias("u"))
-        .unionByName(pairs.select(F.col(id_b).cast("long").alias("u")))
+        raw.select("u")
+        .unionByName(raw.select(F.col("v").alias("u")))
         .distinct()
     )
     def _checkpoint_with_sum(df: DataFrame):
@@ -193,16 +197,19 @@ def connected_components_star(
     :func:`connected_components` (component = smallest member id).
     """
     _require_integral_ids(pairs, id_a, id_b, "connected_components_star")
+    # one materialization of the pair set (same rationale as
+    # connected_components): in_verts is consumed AFTER the star rounds,
+    # so without this the generator pipeline would re-run at the end
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    ).localCheckpoint(eager=True)
     in_verts = (
-        pairs.select(F.col(id_a).cast("long").alias("u"))
-        .unionByName(pairs.select(F.col(id_b).cast("long").alias("u")))
+        raw.select(F.col("a").alias("u"))
+        .unionByName(raw.select(F.col("b").alias("u")))
         .distinct()
     )
     edges = (
-        pairs.select(
-            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )

@@ -72,6 +72,24 @@ def portable_hash60(col):
     return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
+def _widen_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy map stages (guide
+    §2.5 input skew): a small/compact parquet source can arrive as a
+    handful of row-group splits (measured: the sf1.0 documents table is
+    ONE row group -> the whole shingle+sha2 stage ran on 6 of 32 cores).
+    Repartition ONLY when the input has fewer partitions than the
+    cluster's parallelism — a 100 TB scan already has thousands of
+    splits and must NOT pay a text shuffle here. 2x over-partitioning
+    amortizes stragglers; AQE never coalesces an explicit repartition."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; widening is optional
+        return df
+    return df.repartition(2 * target) if n_in < target else df
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of docs with identical canonical token streams:
     (fp, n_dups, min_doc_id) for groups with >1 member."""
@@ -83,14 +101,30 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles_expr(text_col, n: int = 3):
-    """Word n-gram shingles over canonical tokens (array<string>)."""
-    toks = tokenize_expr(text_col)
+def shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. ``toks`` must be a plain column reference (e.g. a projected
+    column), NOT an inline tokenize expression: Catalyst inlines a
+    non-attribute child at every lambda reference, so ``element_at(toks,
+    i+j+1)`` would re-tokenize the document once per shingle element —
+    measured ~90x the whole MinHash stage at sf1.0 (guide §4.4's
+    duplicated-evaluation trap, the higher-order-function variant)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles over canonical tokens (array<string>).
+
+    NOTE: inline composition — every lambda reference to the token array
+    re-evaluates the tokenizer (see :func:`shingles_from_tokens`). Hot
+    paths must project ``tokenize_expr`` to a column first and call
+    ``shingles_from_tokens`` on the reference; this form is kept for
+    ad-hoc/oracle-mirror use on small inputs."""
+    return shingles_from_tokens(tokenize_expr(text_col), n)
 
 
 def minhash_signature(
@@ -101,16 +135,29 @@ def minhash_signature(
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) MinHash signature over 3-gram shingles.
     ``n_perm=8`` is the oracle-pinned default; production near-dup wants
-    >= 128 (pass n_perm=128 — coefficients are deterministic)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_expr(F.col(text_col))).alias("shingle")
+    >= 128 (pass n_perm=128 — coefficients are deterministic).
+
+    Plan shape (r6): the token array and the 60-bit shingle hash are
+    each PROJECTED once before reuse — inlining them re-evaluated the
+    tokenizer per shingle and the sha2 per permutation (8x), a measured
+    ~20x slowdown of this stage; and the input is widened to the
+    cluster's parallelism when it arrives under-split (one-row-group
+    parquet -> a single-task sha2 stage). Results are identical (the
+    refactor is pure CSE + partitioning)."""
+    sel = _widen_small_input(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    )
+    toked = sel.select("doc_id", tokenize_expr("_text").alias("_toks"))
+    sh = toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle")
     )
     h = F.pmod(portable_hash60(F.col("shingle")), F.lit(MERSENNE_P))
+    hashed = sh.select("doc_id", h.alias("_h"))
     aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(n_perm))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -183,13 +230,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize_expr(F.col(text_col))).alias("term")
     ).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # project the two sha2-derived halves ONCE: referenced inline, each
+    # of the ``bits`` aggregate expressions would recompute its sha2 +
+    # base-16 conv per (doc, term) row — 64x the hashing work at the
+    # production width (guide §4.4's duplicated-evaluation trap)
     h1 = portable_hash60(F.col("term"))
     h2 = F.conv(F.substring(F.sha2(F.col("term"), 256), 16, 15), 16, 10).cast("long")
+    tok = tok.select("doc_id", "tf", h1.alias("_h1"), h2.alias("_h2"))
     bit_sums = [
         F.sum(
             F.col("tf")
             * (
-                F.shiftright(h1 if j < 60 else h2, j if j < 60 else j - 60)
+                F.shiftright(F.col("_h1") if j < 60 else F.col("_h2"), j if j < 60 else j - 60)
                 .bitwiseAND(F.lit(1))
                 * 2
                 - 1
@@ -292,9 +344,12 @@ def ngram_jaccard_pairs(
     size must pass ``lsh_above=None``. The switch emits a
     ``RuntimeWarning`` so it is visible at call time, not just here.
     """
-    base = docs.select(
+    # one materialized token array per doc: inline shingles_expr would
+    # re-tokenize per shingle element (see shingles_from_tokens)
+    toked = docs.withColumn("_toks", tokenize_expr(F.col(text_col)))
+    base = toked.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles_expr(F.col(text_col))).alias("sh"),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -327,14 +382,14 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    blocked = docs.select(
+    blocked = toked.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles_expr(F.col(text_col))).alias("sh"),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
         (
             block_col
             if block_col is not None
             # token-count length band (near-dups have near-equal lengths)
-            else F.floor(F.size(tokenize_expr(F.col(text_col))) / 20)
+            else F.floor(F.size(F.col("_toks")) / 20)
         ).alias("blk"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")

@@ -143,16 +143,24 @@ def _gram_hashes(text: Column | str, n: int) -> Column:
     """array<long> of xxhash64 over the canonical-token n-grams of a
     string column; empty for docs shorter than ``n`` tokens. JVM-side:
     tokenize → sliding slice → concat_ws → xxhash64, all inside one
-    higher-order ``transform``."""
-    toks = tokenize_expr(text)
-    cnt = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-    return F.when(cnt >= 1, grams).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    higher-order ``transform``.
+
+    The token array is BOUND to a lambda variable (via a one-element
+    ``transform``) so it is evaluated once per document: referenced
+    inline, Catalyst re-evaluates ``F.slice(toks, i, n)``'s tokenizer
+    child once per gram element (the duplicated-evaluation trap measured
+    at ~20x in ``dedup.minhash_signature``; guide §4.4). A Column-
+    returning helper cannot project, hence the bind trick."""
+
+    def _grams_of(toks: Column) -> Column:
+        cnt = F.size(toks) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+        return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(tokenize_expr(text)), _grams_of), 1)
 
 
 def contaminated_ids(

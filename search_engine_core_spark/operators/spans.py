@@ -106,9 +106,18 @@ def _span_hash_rows(
     """(id, span_idx, span_hash) — one row per length-``span`` unit
     window. Hashes are computed inside the array transform and the span
     STRING is never materialized as a column, so the exploded relation
-    is a fixed 20-ish bytes per span regardless of document size."""
+    is a fixed 20-ish bytes per span regardless of document size.
+
+    The unit array is PROJECTED to a column before the window transform:
+    ``units`` is an expression (a regexp sentence/word split), and
+    Catalyst inlines non-attribute children at every lambda reference —
+    ``F.slice(units, i+1, span)`` would re-split the document once per
+    span element (the same duplicated-evaluation trap measured at ~20x
+    in ``dedup.minhash_signature``; guide §4.4)."""
     key = norm or (lambda c: c)
-    n_spans = F.size(units) - F.lit(span - 1)
+    base = df.select(F.col(id_col).alias("id"), units.alias("_units"))
+    u = F.col("_units")
+    n_spans = F.size(u) - F.lit(span - 1)
     spans = F.when(
         n_spans >= 1,
         F.transform(
@@ -116,13 +125,13 @@ def _span_hash_rows(
             lambda i: F.struct(
                 i.cast("int").alias("span_idx"),
                 F.xxhash64(
-                    key(F.concat_ws(" ", F.slice(units, i + 1, span)))
+                    key(F.concat_ws(" ", F.slice(u, i + 1, span)))
                 ).alias("span_hash"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<span_idx:int,span_hash:bigint>>"))
-    rows = df.select(
-        F.col(id_col).alias("id"), F.explode(spans).alias("s")
+    rows = base.select(
+        "id", F.explode(spans).alias("s")
     ).select("id", "s.span_idx", "s.span_hash")
     if norm is not None:
         # spans whose key normalized to "" carry no content identity:
