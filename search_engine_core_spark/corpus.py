@@ -103,6 +103,24 @@ def synthesize_corpus(
     return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(gen, CORPUS_SCHEMA)
 
 
+def widen_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy derivations (guide
+    §2.5 input skew): a compact parquet source can arrive as a handful
+    of row-group splits (the sf1.0 documents table is ONE row group →
+    tokenize/hash map stages run on ~6 of 32 cores). Repartition ONLY
+    when the input has fewer partitions than the cluster's parallelism —
+    a 100 TB scan already has thousands of splits and must never pay a
+    content shuffle here. 2x over-partitioning amortizes stragglers;
+    AQE never coalesces an explicit repartition."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; widening is optional
+        return df
+    return df.repartition(2 * target) if n_in < target else df
+
+
 def with_doc_columns(corpus: DataFrame) -> DataFrame:
     """Attach doc_id / content_sha256 / doclen to an input_hint corpus."""
     return (
@@ -116,7 +134,7 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars) to the canonical shape. ``doc_id`` is kept verbatim so oracle
     SQL can reference it directly; doclen = canonical token count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_small_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),

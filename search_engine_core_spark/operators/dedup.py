@@ -72,22 +72,9 @@ def portable_hash60(col):
     return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
-def _widen_small_input(df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor for CPU-heavy map stages (guide
-    §2.5 input skew): a small/compact parquet source can arrive as a
-    handful of row-group splits (measured: the sf1.0 documents table is
-    ONE row group -> the whole shingle+sha2 stage ran on 6 of 32 cores).
-    Repartition ONLY when the input has fewer partitions than the
-    cluster's parallelism — a 100 TB scan already has thousands of
-    splits and must NOT pay a text shuffle here. 2x over-partitioning
-    amortizes stragglers; AQE never coalesces an explicit repartition."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        n_in = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - exotic plans; widening is optional
-        return df
-    return df.repartition(2 * target) if n_in < target else df
+from search_engine_core_spark.corpus import (  # noqa: E402
+    widen_small_input as _widen_small_input,
+)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

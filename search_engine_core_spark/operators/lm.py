@@ -213,12 +213,22 @@ def perplexity_buckets(
     if len(labels) != n_buckets:
         raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
     scored = ppl_df.filter(F.col(ppl_col).isNotNull())
+    persisted = None
     if exact:
         tile = F.ntile(n_buckets).over(
             Window.orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
         )
         bucketed = scored.withColumn("_tile", tile)
     else:
+        # the quantile pass is an ACTION and the caller's consumption is
+        # a second one — persist the scored rows across the two so the
+        # upstream scoring pipeline runs once, the same discipline as
+        # perplexity_verdicts (r5 ADVICE); released below once the tiny
+        # (id, bucket) frame is checkpointed
+        from pyspark import StorageLevel
+
+        persisted = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        scored = persisted
         cuts = scored.approxQuantile(
             ppl_col,
             [i / n_buckets for i in range(1, n_buckets)],
@@ -235,9 +245,11 @@ def perplexity_buckets(
     bucketed = bucketed.withColumn(
         "bucket", F.element_at(label_map, F.col("_tile"))
     ).drop("_tile")
-    return ppl_df.join(
-        bucketed.select(id_col, "bucket"), id_col, "left"
-    )
+    sel = bucketed.select(id_col, "bucket")
+    if persisted is not None:
+        sel = sel.localCheckpoint(eager=True)
+        persisted.unpersist()
+    return ppl_df.join(sel, id_col, "left")
 
 
 def perplexity_verdicts(
@@ -271,11 +283,11 @@ def perplexity_verdicts(
     ``persist`` (``keep_frac`` mode only): cache the O(docs) score rows
     so the threshold action and the verdict consumer's action execute
     the scoring pipeline once (measured 1.6×, 61.1 → 38.3 s on the 200k
-    gate probe). The cached block lives in the SQL cache until the
-    session clears it — MEMORY_AND_DISK, so it spills/evicts rather
-    than OOMs, but a long-lived session gating MANY corpora in a loop
-    should pass ``persist=False`` (pipeline runs twice, nothing
-    retained) or call ``spark.catalog.clearCache()`` between corpora."""
+    gate probe). The cache is released BEFORE returning (r6): after the
+    threshold action the small (id, ppl) frame is eagerly
+    localCheckpointed and the cached blocks unpersisted, so loop callers
+    (repeated ``curate()`` in one session) hold one bounded checkpoint
+    per live result instead of accumulating SQL-cache blocks."""
     if (max_ppl is None) == (keep_frac is None):
         raise ValueError("pass exactly one of max_ppl / keep_frac")
     ppl = doc_perplexity(docs, text_col, id_col, k=k, train_docs=train_docs,
@@ -304,6 +316,17 @@ def perplexity_verdicts(
             ).first()["c"]
         if cut is None:  # no scored docs at all — everything passes
             cut = float("inf")
+        if persist:
+            # the threshold action above materialized the cache; swap it
+            # for an eager localCheckpoint of the SMALL (id, ppl) frame
+            # and release the cached blocks NOW — loop callers (repeated
+            # curate() in one session) otherwise accumulate O(docs)
+            # cached blocks until eviction pressure (r5 ADVICE). The
+            # checkpoint trades lineage for a bounded footprint; the
+            # consumer's action reads the checkpointed rows either way.
+            small = ppl.localCheckpoint(eager=True)
+            ppl.unpersist()
+            ppl = small
     else:
         cut = max_ppl
     return ppl.withColumn(

@@ -148,9 +148,12 @@ def _drop_if_drained(d: str) -> None:
     """Drop a level-0 dir once fully drained (the delta-absent invariant
     readers rely on) — kept if ANY data file or an in-flight Spark commit
     (``_temporary``) is present, so a concurrent writer's floor is never
-    yanked out from under it."""
+    yanked out from under it. Fail-closed deletion (r5 ADVICE): only the
+    known-inert commit leftovers (``_SUCCESS``, ``.crc``) are removed and
+    the dir goes via ``os.rmdir``, which refuses a non-empty dir — a
+    micro-batch that starts writing between the listing and the delete
+    keeps the dir alive instead of being rmtree'd mid-write."""
     import os
-    import shutil
 
     try:
         entries = os.listdir(d)
@@ -158,7 +161,33 @@ def _drop_if_drained(d: str) -> None:
         return
     if any(e.endswith(".parquet") or e == "_temporary" for e in entries):
         return
-    shutil.rmtree(d, ignore_errors=True)
+    for e in entries:
+        if e == "_SUCCESS" or e.endswith(".crc"):
+            try:
+                os.remove(os.path.join(d, e))
+            except FileNotFoundError:
+                pass
+        else:
+            return  # unknown entry — leave the dir for the next tick
+    try:
+        os.rmdir(d)
+    except OSError:
+        pass  # something landed mid-drop; it survives for the next tick
+
+
+def _encode_width(spark: SparkSession, n_bytes: int) -> int:
+    """Scale-adaptive exchange width for delta/segment-sized postings
+    encodes: ``build_postings``' default over-partitions 4x the core
+    count — right for FULL builds, where each task's sort run must fit
+    execution memory — but a delta-sized fold at that width scatters a
+    few MB across ~a hundred near-empty encode tasks and writes
+    thousands of tiny bucket files (guide §2.2/§6; measured on a 2k-doc
+    delta: 5.4 s -> 1.4 s and 2044 -> 130 output files). Width derives
+    from the INPUT bytes (~16 MB of parquet per task), floored at 2 so
+    tiny folds still overlap encode with write, capped at the default
+    full-build width so big folds keep their sort-memory headroom."""
+    cap = max(1, 4 * spark.sparkContext.defaultParallelism)
+    return max(2, min(cap, n_bytes // (16 << 20) + 1))
 
 
 def _segment_ids(index_dir: str) -> list[int]:
@@ -279,7 +308,13 @@ def minor_compact(
     new_seg = (existing[-1] + 1) if existing else 0
     trip = delta.withColumn("bucket", _bucket_expr(n_buckets))
     dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = build_postings(trip, dfreq, hot_df_threshold, n_shards, bucket_col=True)
+    # encode width scales with the DELTA's bytes, never the cluster
+    # constant — the whole point of minor compaction is delta-sized cost
+    delta_bytes = sum(os.path.getsize(f) for f in tfiles if os.path.exists(f))
+    postings = build_postings(
+        trip, dfreq, hot_df_threshold, n_shards, bucket_col=True,
+        n_partitions=_encode_width(spark, delta_bytes),
+    )
     tmp = f"{index_dir}/segments/_seg_build_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     (
@@ -516,7 +551,15 @@ def merge_segments(
     kept = decoded.join(latest, ["doc_id", "seg"], "left_semi").drop("seg")
     trip = kept.withColumn("bucket", _bucket_expr(n_buckets))
     dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = build_postings(trip, dfreq, hot_df_threshold, n_shards, bucket_col=True)
+    # encode width scales with the RUN's bytes (merged-run-sized cost,
+    # the tier's contract) — see _encode_width
+    run_bytes = sum(
+        b for s, b in segment_bytes(index_dir).items() if s in set(run)
+    )
+    postings = build_postings(
+        trip, dfreq, hot_df_threshold, n_shards, bucket_col=True,
+        n_partitions=_encode_width(spark, run_bytes),
+    )
     tmp_post = f"{index_dir}/segments/_merge_post_tmp"
     shutil.rmtree(tmp_post, ignore_errors=True)
     (

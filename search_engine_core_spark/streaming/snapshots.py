@@ -98,6 +98,10 @@ def next_gen(index_dir: str) -> int:
         gens += [
             int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("gen=")
         ]
+    # restore_snapshot writes synthetic merge events with NEGATIVE gens;
+    # counting them here would hand the first real merge gen 0, breaking
+    # the documented 1-based convention (r5 ADVICE)
+    gens = [g for g in gens if g > 0]
     return (max(gens) + 1) if gens else 1
 
 

@@ -660,9 +660,14 @@ def test_merge_segments_rank_identity_policy_and_guards(
     report = validate_index(spark, idx, 4, deep=True)
     assert is_clean(report), report
 
-    # policy tick folds the remaining same-tier pair; ranks unchanged
+    # policy tick folds the remaining same-tier pair; ranks unchanged.
+    # size_ratio=8: the r6 delta-sized encode width makes segments denser
+    # (fewer, larger files — less parquet framing), so the 1.8x byte gap
+    # between the merged seg 2 (~85 KB) and seg 3 (~47 KB) straddles a
+    # ratio-4 tier boundary; ratio 8 keeps them one tier, preserving the
+    # scenario this assertion exercises (a qualifying same-tier run)
     actions = maybe_compact(spark, idx, n_buckets=4, hot_df_threshold=100,
-                            n_shards=4, min_merge=2)
+                            n_shards=4, min_merge=2, size_ratio=8)
     assert actions == {"minor": None, "merged": [3]}
     assert _segment_ids(idx) == [3]
     _check(DeltaSearchEngine(spark, idx, n_buckets=4), want, "policy-merged")
