@@ -85,3 +85,48 @@ def spark_xxhash64_str(s: str, seed: int = 42) -> int:
 def term_bucket(term: str, n_buckets: int) -> int:
     """pmod(xxhash64(term), n_buckets) — the index bucket of a term."""
     return spark_xxhash64_str(term) % n_buckets
+
+
+def xxh64_long_np(vals, seed: int = 42):
+    """Vectorized XXH64 of int64 values, matching Spark's
+    ``xxhash64(long_col)`` (which hashes the 8 little-endian bytes of the
+    long with seed 42). Returns the UNSIGNED uint64 hashes; callers
+    needing Spark's ``pmod(xxhash64(id), n)`` take ``% n`` directly on
+    the unsigned value (Spark's pmod of the signed long equals the
+    unsigned value mod n only when n divides 2^64's residue evenly —
+    it does not in general, so we reproduce the signed pmod below).
+
+    Used by the map-side partial-postings encode to assign hot-term
+    shards per doc WITHOUT a JVM round trip; parity with the JVM
+    expression is test-pinned (tests/test_round6_partial.py)."""
+    import numpy as np
+
+    x = np.asarray(vals).astype(np.uint64)
+    P1 = np.uint64(_P1)
+    P2 = np.uint64(_P2)
+    P3 = np.uint64(_P3)
+    P4 = np.uint64(_P4)
+
+    def rotl(v, r):
+        return (v << np.uint64(r)) | (v >> np.uint64(64 - r))
+
+    # hashLong specialization of the byte-stream path for an 8-byte input
+    h = np.uint64((seed + _P5 + 8) & _M)
+    h = h ^ (rotl(x * P2, 31) * P1)
+    h = rotl(h, 27) * P1 + P4
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def pmod_xxh64_long_np(vals, n: int, seed: int = 42):
+    """``pmod(xxhash64(long_col), n)`` exactly as Spark computes it: the
+    hash is reinterpreted as a SIGNED long, then pmod'd (non-negative)."""
+    import numpy as np
+
+    h = xxh64_long_np(vals, seed=seed).astype(np.int64)  # reinterpret signed
+    m = h % np.int64(n)  # numpy % on int64 is floored => already pmod
+    return m.astype(np.int32)

@@ -73,6 +73,15 @@ class IndexBuilder:
     # only matches map-side-tf at 16 cores — keep the default unless
     # executors have memory to sort raw occurrences without spilling.
     map_side_tf: bool = True
+    # True (default, requires map_side_tf): the fast path tokenizes,
+    # computes tf, assigns hot shards AND varbyte-encodes PARTIAL posting
+    # lists in ONE Arrow map stage, so the build shuffle carries ~4 B per
+    # posting instead of a ~40 B triple row, and the reduce-side Python
+    # stage receives ~40x fewer rows (operators/partial_postings.py;
+    # guide §2.3/§8 — measured: postings stage 13.3 s -> see
+    # OPTIMIZATION_r06.md, logically identical output, test-pinned).
+    # False restores the triple-shuffle shape.
+    partial_encode: bool = True
     # Opt-in positional sidecar (<index_dir>/positions/bucket=B/): token
     # positions per (doc, term), delta+varbyte encoded — phrase queries
     # answered index-only (no attach_content on slim indexes). Positions
@@ -338,6 +347,31 @@ class IndexBuilder:
         if fail_after_buckets is not None:
             raise BuildAborted("injected failure before fast postings job")
         t0 = time.monotonic()
+        if self.partial_encode and self.map_side_tf:
+            # partial-encode pipeline: the one exchange carries compressed
+            # per-(term, shard) partials; hot set collected driver-side
+            # (it is bounded-small by construction — near-ubiquitous terms)
+            from search_engine_core_spark.operators.partial_postings import (
+                build_postings_from_docs,
+            )
+
+            hot_terms = [r["term"] for r in self._hot_terms_sampled(docs).collect()]
+            postings = build_postings_from_docs(
+                docs.select("doc_id", "content"),
+                hot_terms,
+                self.n_shards,
+                n_buckets=self.n_buckets,
+                n_partitions=self.encode_partitions,
+            )
+            (
+                postings.sortWithinPartitions("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{self.index_dir}/postings")
+            )
+            self._log_bucket_lineage(list(range(self.n_buckets)), attempt, t0)
+            return
         if self.map_side_tf:
             # per-doc tf computed map-side in Arrow C++ (functions/
             # tokenizer.doc_tf_arrow): no JVM hash agg, and the one shuffle
