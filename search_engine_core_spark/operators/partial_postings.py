@@ -161,22 +161,182 @@ def make_partial_tf_encoder(hot_bc, n_shards: int):
             doc_s = doc[order]
             tf_s = tf[order]
             new_group = _group_starts_from_terms(term_s, shard_s)
-            ids_b, ids_lens, tf_b, tf_lens, sizes = _encode_groups(
-                doc_s, tf_s, new_group
-            )
-            starts = np.flatnonzero(new_group)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pc.take(term_s, pa.array(starts)),
-                    pa.array(shard_s[starts].astype(np.int32)),
-                    pa.array(sizes.astype(np.int32)),
-                    _bin_arr(ids_b, ids_lens),
-                    _bin_arr(tf_b, tf_lens),
-                ],
-                names=["term", "shard", "n", "ids", "tfs"],
+            yield _partial_batch_from_sorted(
+                term_s, np.flatnonzero(new_group), shard_s, doc_s, tf_s, new_group
             )
 
     return fn
+
+
+def _partial_batch_from_sorted(term_per_group_src, group_src_idx, shard_s, doc_s, tf_s, new_group):
+    """Build one PARTIAL RecordBatch from value arrays already sorted by
+    (term, shard, doc_id). ``term_per_group_src``/``group_src_idx``:
+    a string source array + per-group indices into it (so term strings
+    materialize once per GROUP, never per value)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids_b, ids_lens, tf_b, tf_lens, sizes = _encode_groups(doc_s, tf_s, new_group)
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(term_per_group_src, pa.array(group_src_idx)),
+            pa.array(shard_s[np.flatnonzero(new_group)].astype(np.int32)),
+            pa.array(sizes.astype(np.int32)),
+            _bin_arr(ids_b, ids_lens),
+            _bin_arr(tf_b, tf_lens),
+        ],
+        names=["term", "shard", "n", "ids", "tfs"],
+    )
+
+
+def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None):
+    """mapInPandas fn: compressed POSTINGS rows -> PARTIAL rows, for the
+    compaction paths (guide §8: the rewrite's shuffle moves ~4 B/posting
+    partials instead of decoded triples). Per batch, segmented-vectorized:
+    decode every block (``decode_masked_batch``), drop superseded docs
+    via the broadcast sorted id array (the same discipline as
+    ``decode_postings_for_docs``), re-assign hot-term shards with the
+    JVM-parity XXH64 twin, re-sort and partial-encode. Term strings touch
+    Python only once per output GROUP."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from search_engine_core_spark.operators.postings import decode_masked_batch
+
+        hot = hot_bc.value
+        excl = exclude_bc.value if exclude_bc is not None else None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = decode_masked_batch(
+                pdf, lambda bf, bl, bmax, rob: np.ones(bf.size, dtype=bool)
+            )
+            if out is None:
+                continue
+            ids, tfs, val_row = out
+            if excl is not None and excl.size:
+                pos = np.searchsorted(excl, ids)
+                sup = (pos < excl.size) & (
+                    excl[np.minimum(pos, excl.size - 1)] == ids
+                )
+                if sup.any():
+                    keep = ~sup
+                    ids, tfs, val_row = ids[keep], tfs[keep], val_row[keep]
+            if ids.size == 0:
+                continue
+            terms_row = pdf["term"].to_numpy()
+            row_hot = np.fromiter(
+                (t in hot for t in terms_row), dtype=bool, count=terms_row.size
+            )
+            shard = np.zeros(ids.size, dtype=np.int32)
+            hot_vals = row_hot[val_row]
+            if hot_vals.any():
+                from search_engine_core_spark.functions.xxhash import (
+                    pmod_xxh64_long_np,
+                )
+
+                shard[hot_vals] = pmod_xxh64_long_np(ids[hot_vals], n_shards)
+            # rows arrive doc-sorted per input row, but resharding and the
+            # term's split across input rows (old shards) both reorder —
+            # one lexsort restores (row-term, shard, doc) order
+            order = np.lexsort((ids, shard, val_row))
+            ids, tfs, val_row, shard = ids[order], tfs[order], val_row[order], shard[order]
+            new_group = np.empty(ids.size, dtype=bool)
+            new_group[0] = True
+            new_group[1:] = (val_row[1:] != val_row[:-1]) | (shard[1:] != shard[:-1])
+            # two input rows of the SAME term (shard fragments) stay
+            # separate groups here — the reduce-side merger unifies them
+            starts = np.flatnonzero(new_group)
+            yield _partial_batch_from_sorted(
+                pa.array(terms_row, type=pa.string()),
+                val_row[starts],
+                shard,
+                ids,
+                tfs.astype(np.int64),
+                new_group,
+            ).to_pandas()
+
+    return gen
+
+
+def make_triples_to_partials(hot_bc, n_shards: int):
+    """mapInArrow fn: (doc_id, term, tf) triples -> PARTIAL rows (the
+    update-tier feed of the compaction paths; same sharding/sorting as
+    the doc-side encoder, minus tokenize)."""
+    from search_engine_core_spark.functions.xxhash import pmod_xxh64_long_np
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            pa.set_cpu_count(1)
+        except Exception:
+            pass
+        hot = hot_bc.value
+        hot_vs = pa.array(sorted(hot), type=pa.string()) if hot else None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            term = batch.column("term")
+            if isinstance(term, pa.ChunkedArray):
+                term = term.combine_chunks()
+            doc = batch.column("doc_id").to_numpy().astype(np.int64)
+            tf = batch.column("tf").to_numpy().astype(np.int64)
+            shard = np.zeros(doc.size, dtype=np.int32)
+            if hot_vs is not None:
+                hot_mask = pc.is_in(term, value_set=hot_vs).to_numpy(
+                    zero_copy_only=False
+                )
+                if hot_mask.any():
+                    shard[hot_mask] = pmod_xxh64_long_np(doc[hot_mask], n_shards)
+            order = pc.sort_indices(
+                pa.table({"term": term, "shard": pa.array(shard), "doc_id": pa.array(doc)}),
+                sort_keys=[("term", "ascending"), ("shard", "ascending"), ("doc_id", "ascending")],
+            ).to_numpy().astype(np.int64)
+            term_s = pc.take(term, pa.array(order))
+            if isinstance(term_s, pa.ChunkedArray):
+                term_s = term_s.combine_chunks()
+            shard_s, doc_s, tf_s = shard[order], doc[order], tf[order]
+            new_group = _group_starts_from_terms(term_s, shard_s)
+            starts = np.flatnonzero(new_group)
+            yield _partial_batch_from_sorted(
+                term_s, starts, shard_s, doc_s, tf_s, new_group
+            )
+
+    return fn
+
+
+def merge_partial_sources(
+    spark,
+    partial_dfs: list[DataFrame],
+    n_buckets: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Union PARTIAL-row DataFrames and run the shared reduce-side merge
+    -> final POSTINGS rows (the compaction twin of
+    :func:`build_postings_from_docs`'s tail)."""
+    from search_engine_core_spark.operators.postings import POSTINGS_SCHEMA
+
+    part = partial_dfs[0]
+    for p in partial_dfs[1:]:
+        part = part.unionByName(p)
+    with_bucket = n_buckets is not None
+    if with_bucket:
+        part = part.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    width = n_partitions or spark.sparkContext.defaultParallelism
+    cols = (["bucket"] if with_bucket else []) + ["term", "shard", "n", "ids", "tfs"]
+    arranged = (
+        part.select(*cols, F.xxhash64("term").alias("_tid"))
+        .repartition(width, "_tid", "shard")
+        .sortWithinPartitions("_tid", "term", "shard")
+        .drop("_tid")
+    )
+    schema = ("bucket int, " + POSTINGS_SCHEMA) if with_bucket else POSTINGS_SCHEMA
+    return arranged.mapInArrow(make_partial_merger(with_bucket), schema)
 
 
 def _binary_payload(col) -> bytes:
@@ -325,25 +485,11 @@ def build_postings_from_docs(
     core count — partial rows are tiny, so the 4x over-partitioning the
     triple path needed for sort memory would only multiply output files
     (guide §2.2/§6)."""
-    from search_engine_core_spark.operators.postings import POSTINGS_SCHEMA
-
     spark = docs.sparkSession
     hot_bc = spark.sparkContext.broadcast(frozenset(hot_terms))
     part = docs.select("doc_id", "content").mapInArrow(
         make_partial_tf_encoder(hot_bc, n_shards), PARTIAL_SCHEMA
     )
-    with_bucket = n_buckets is not None
-    if with_bucket:
-        part = part.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
-    width = n_partitions or spark.sparkContext.defaultParallelism
-    cols = (["bucket"] if with_bucket else []) + ["term", "shard", "n", "ids", "tfs"]
-    arranged = (
-        part.select(*cols, F.xxhash64("term").alias("_tid"))
-        .repartition(width, "_tid", "shard")
-        .sortWithinPartitions("_tid", "term", "shard")
-        .drop("_tid")
+    return merge_partial_sources(
+        spark, [part], n_buckets=n_buckets, n_partitions=n_partitions
     )
-    schema = ("bucket int, " + POSTINGS_SCHEMA) if with_bucket else POSTINGS_SCHEMA
-    return arranged.mapInArrow(make_partial_merger(with_bucket), schema)

@@ -144,6 +144,12 @@ def start_incremental_index(
     return writer.start()
 
 
+#: compact_deltas switches to the broadcast-filtered partial-rewrite path
+#: when the updated-doc set fits a worker broadcast (~160 MB of int64 ids);
+#: above it, the original triple-shuffle rewrite runs (correct, heavier)
+_PARTIAL_EXCLUDE_CAP = 20_000_000
+
+
 def _drop_if_drained(d: str) -> None:
     """Drop a level-0 dir once fully drained (the delta-absent invariant
     readers rely on) — kept if ANY data file or an in-flight Spark commit
@@ -1460,15 +1466,68 @@ def compact_deltas(
         updated_ids = delta_ids
     updated_ids = updated_ids.localCheckpoint(eager=True)
 
-    merged = (
-        main.join(updated_ids, "doc_id", "left_anti")
-        .unionByName(updates)
-        .withColumn("bucket", _bucket_expr(n_buckets))
-    )
-    dfreq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = build_postings(
-        merged, dfreq, hot_df_threshold, n_shards, bucket_col=True
-    )
+    n_upd = updated_ids.count()
+    if n_upd <= _PARTIAL_EXCLUDE_CAP:
+        # r6 partial-rewrite path (guide §8): main postings are decoded,
+        # filtered of superseded docs (broadcast sorted id array — the
+        # decode_postings_for_docs discipline), re-sharded and partial-
+        # encoded in ONE Arrow stage, so the compaction shuffle carries
+        # ~4 B/posting partials instead of ~40 B triple rows and the main
+        # index never materializes as triples in the JVM. The hot set
+        # comes from the EXACT main dfreq table (misclassification only
+        # shifts sharding, same argument as the sampled build hot set).
+        import numpy as np
+
+        from search_engine_core_spark.operators.partial_postings import (
+            PARTIAL_SCHEMA,
+            make_postings_to_partials,
+            make_triples_to_partials,
+            merge_partial_sources,
+        )
+
+        ids_tbl = updated_ids.toArrow()
+        excl = np.sort(
+            ids_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bc_excl = spark.sparkContext.broadcast(excl)
+        hot_dir = f"{index_dir}/dfreq"
+        hot_terms: list[str] = []
+        if os.path.isdir(hot_dir):
+            hot_terms = [
+                r["term"]
+                for r in spark.read.parquet(hot_dir)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > hot_df_threshold)
+                .collect()
+            ]
+        hot_bc = spark.sparkContext.broadcast(frozenset(hot_terms))
+        scan_cols = [
+            "term", "block_first", "block_last", "block_n",
+            "block_gap_off", "block_tf_off", "block_max_tf",
+            "doc_gaps", "tfs",
+        ]
+        main_part = reader_post.select(*scan_cols).mapInPandas(
+            make_postings_to_partials(hot_bc, n_shards, bc_excl), PARTIAL_SCHEMA
+        )
+        upd_part = updates.mapInArrow(
+            make_triples_to_partials(hot_bc, n_shards), PARTIAL_SCHEMA
+        )
+        postings = merge_partial_sources(
+            spark, [main_part, upd_part], n_buckets=n_buckets
+        )
+    else:
+        # update set too large for a broadcast filter: the original
+        # triple-shuffle rewrite (anti-join + unified build)
+        merged = (
+            main.join(updated_ids, "doc_id", "left_anti")
+            .unionByName(updates)
+            .withColumn("bucket", _bucket_expr(n_buckets))
+        )
+        dfreq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = build_postings(
+            merged, dfreq, hot_df_threshold, n_shards, bucket_col=True
+        )
     # write-aside then swap: Spark cannot overwrite the path it reads from
     # (at scale this is an atomic Iceberg REPLACE / metadata swap; on the
     # local FS a directory rename plays that role)

@@ -821,7 +821,13 @@ def test_stream_auto_compaction_maintains_lsm_shape(spark, tmp_path, small_corpu
         q = start_incremental_index(
             spark, f"{inbox}/b*", idx, ckpt,
             auto_compact_every=1,
-            compact_kwargs=dict(**kw, min_merge=2, size_ratio=4.0),
+            # size_ratio=8 for the same reason as the policy tick in
+            # test_merge_segments_rank_identity_policy_and_guards: the
+            # delta-sized encode width makes segments denser, and the
+            # merged seg 1 vs fresh seg 2 byte gap straddles a ratio-4
+            # tier boundary — ratio 8 keeps the generations one tier so
+            # the policy scenario (fold every neighbor) stays exercised
+            compact_kwargs=dict(**kw, min_merge=2, size_ratio=8.0),
         )
         q.awaitTermination(120)
 
