@@ -189,7 +189,8 @@ def _partial_batch_from_sorted(term_per_group_src, group_src_idx, shard_s, doc_s
     )
 
 
-def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None):
+def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None,
+                              latest_bc=None):
     """mapInPandas fn: compressed POSTINGS rows -> PARTIAL rows, for the
     compaction paths (guide §8: the rewrite's shuffle moves ~4 B/posting
     partials instead of decoded triples). Per batch, segmented-vectorized:
@@ -197,7 +198,12 @@ def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None):
     via the broadcast sorted id array (the same discipline as
     ``decode_postings_for_docs``), re-assign hot-term shards with the
     JVM-parity XXH64 twin, re-sort and partial-encode. Term strings touch
-    Python only once per output GROUP."""
+    Python only once per output GROUP.
+
+    ``latest_bc`` (segment merges): Broadcast of ``(sorted doc ids,
+    aligned latest-seg)`` — input rows must then carry a ``seg`` column,
+    and a posting survives iff its doc's LATEST segment is the row's
+    (doc-level latest-wins applied during the decode, no triple join)."""
 
     def gen(batches):
         import pyarrow as pa
@@ -206,6 +212,7 @@ def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None):
 
         hot = hot_bc.value
         excl = exclude_bc.value if exclude_bc is not None else None
+        latest = latest_bc.value if latest_bc is not None else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -223,6 +230,14 @@ def make_postings_to_partials(hot_bc, n_shards: int, exclude_bc=None):
                 if sup.any():
                     keep = ~sup
                     ids, tfs, val_row = ids[keep], tfs[keep], val_row[keep]
+            if latest is not None and ids.size:
+                l_ids, l_segs = latest
+                row_seg = pdf["seg"].to_numpy()[val_row]
+                pos = np.searchsorted(l_ids, ids)
+                inb = pos < l_ids.size
+                keep = inb & (l_ids[np.minimum(pos, l_ids.size - 1)] == ids)
+                keep &= l_segs[np.minimum(pos, l_ids.size - 1)] == row_seg
+                ids, tfs, val_row = ids[keep], tfs[keep], val_row[keep]
             if ids.size == 0:
                 continue
             terms_row = pdf["term"].to_numpy()

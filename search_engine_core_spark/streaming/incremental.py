@@ -270,7 +270,6 @@ def minor_compact(
     import shutil
     import time
 
-    from search_engine_core_spark.operators.postings import build_postings
     from search_engine_core_spark.sources.index_io import IndexBuilder, _bucket_expr
 
     # docs listed FIRST: any batch whose docs are (fully) listed has its
@@ -312,13 +311,32 @@ def minor_compact(
     t0 = time.monotonic()
     existing = _segment_ids(index_dir)
     new_seg = (existing[-1] + 1) if existing else 0
-    trip = delta.withColumn("bucket", _bucket_expr(n_buckets))
-    dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # encode width scales with the DELTA's bytes, never the cluster
     # constant — the whole point of minor compaction is delta-sized cost
     delta_bytes = sum(os.path.getsize(f) for f in tfiles if os.path.exists(f))
-    postings = build_postings(
-        trip, dfreq, hot_df_threshold, n_shards, bucket_col=True,
+    # r6: delta triples partial-encode map-side (same salting semantics:
+    # hot = df WITHIN the delta over threshold — usually empty, a delta
+    # is small by construction) and the fold's shuffle carries ~4 B per
+    # posting instead of triple rows (operators/partial_postings.py)
+    from search_engine_core_spark.operators.partial_postings import (
+        PARTIAL_SCHEMA,
+        make_triples_to_partials,
+        merge_partial_sources,
+    )
+
+    hot_terms = [
+        r["term"]
+        for r in delta.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_df_threshold)
+        .collect()
+    ]
+    hot_bc = spark.sparkContext.broadcast(frozenset(hot_terms))
+    part = delta.mapInArrow(
+        make_triples_to_partials(hot_bc, n_shards), PARTIAL_SCHEMA
+    )
+    postings = merge_partial_sources(
+        spark, [part], n_buckets=n_buckets,
         n_partitions=_encode_width(spark, delta_bytes),
     )
     tmp = f"{index_dir}/segments/_seg_build_tmp"
@@ -511,15 +529,17 @@ def merge_segments(
     run_lit = [int(s) for s in run]
 
     post_root = f"{index_dir}/segments/postings"
-    decoded = decode_postings_df(
+    seg_post_run = (
         spark.read.option("basePath", post_root)
         .parquet(post_root)
-        .filter(F.col("seg").isin(run_lit)),
-        carry=("seg",),
+        .filter(F.col("seg").isin(run_lit))
     )
 
     docs_root = f"{index_dir}/segments/docs"
     run_docs = None
+    all_have_docs = os.path.isdir(docs_root) and all(
+        os.path.isdir(f"{docs_root}/seg={s}") for s in run
+    )
     if os.path.isdir(docs_root) and any(
         os.path.isdir(f"{docs_root}/seg={s}") for s in run
     ):
@@ -530,15 +550,22 @@ def merge_segments(
         )
 
     # (doc_id -> latest seg within the run); a doc whose latest version
-    # has no postings (e.g. re-crawled empty) still supersedes via docs
-    post_latest = decoded.groupBy("doc_id").agg(F.max("seg").alias("seg"))
-    if run_docs is not None:
+    # has no postings (e.g. re-crawled empty) still supersedes via docs.
+    # When EVERY run segment carries a docs table (the invariant
+    # minor_compact enforces), docs alone determine latest and the
+    # postings decode for doc ids is skipped outright (r6).
+    if all_have_docs:
         latest = run_docs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
-        latest = latest.unionByName(
-            post_latest.join(latest.select("doc_id"), "doc_id", "left_anti")
-        )
     else:
-        latest = post_latest
+        decoded = decode_postings_df(seg_post_run, carry=("seg",))
+        post_latest = decoded.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+        if run_docs is not None:
+            latest = run_docs.groupBy("doc_id").agg(F.max("seg").alias("seg"))
+            latest = latest.unionByName(
+                post_latest.join(latest.select("doc_id"), "doc_id", "left_anti")
+            )
+        else:
+            latest = post_latest
     pruned_against: list[int] = []
     if prune_superseded and not retain:
         later = [int(s) for s in existing if s > run[-1]]
@@ -554,18 +581,62 @@ def merge_segments(
             pruned_against = later
     latest = latest.localCheckpoint(eager=True)
 
-    kept = decoded.join(latest, ["doc_id", "seg"], "left_semi").drop("seg")
-    trip = kept.withColumn("bucket", _bucket_expr(n_buckets))
-    dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # encode width scales with the RUN's bytes (merged-run-sized cost,
     # the tier's contract) — see _encode_width
     run_bytes = sum(
         b for s, b in segment_bytes(index_dir).items() if s in set(run)
     )
-    postings = build_postings(
-        trip, dfreq, hot_df_threshold, n_shards, bucket_col=True,
-        n_partitions=_encode_width(spark, run_bytes),
-    )
+    n_latest = latest.count()
+    if n_latest <= _PARTIAL_EXCLUDE_CAP:
+        # r6 partial-merge path: doc-level latest-wins applied DURING the
+        # segment decode via a broadcast (sorted ids, latest-seg) pair —
+        # no triple materialization, the fold's shuffle carries ~4 B per
+        # posting (operators/partial_postings.py). Hot set from the run's
+        # postings METADATA (column-pruned scan, binaries unread);
+        # pre- vs post-latest-filter df only shifts borderline sharding.
+        import numpy as np
+
+        from search_engine_core_spark.operators.partial_postings import (
+            PARTIAL_SCHEMA,
+            make_postings_to_partials,
+            merge_partial_sources,
+        )
+
+        l_tbl = latest.toArrow()
+        l_ids = l_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_segs = l_tbl["seg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(l_ids)
+        bc_latest = spark.sparkContext.broadcast((l_ids[order], l_segs[order]))
+        hot_terms = [
+            r["term"]
+            for r in seg_post_run.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > hot_df_threshold)
+            .collect()
+        ]
+        hot_bc = spark.sparkContext.broadcast(frozenset(hot_terms))
+        scan_cols = [
+            "term", "seg", "block_first", "block_last", "block_n",
+            "block_gap_off", "block_tf_off", "block_max_tf",
+            "doc_gaps", "tfs",
+        ]
+        part = seg_post_run.select(*scan_cols).mapInPandas(
+            make_postings_to_partials(hot_bc, n_shards, latest_bc=bc_latest),
+            PARTIAL_SCHEMA,
+        )
+        postings = merge_partial_sources(
+            spark, [part], n_buckets=n_buckets,
+            n_partitions=_encode_width(spark, run_bytes),
+        )
+    else:
+        decoded = decode_postings_df(seg_post_run, carry=("seg",))
+        kept = decoded.join(latest, ["doc_id", "seg"], "left_semi").drop("seg")
+        trip = kept.withColumn("bucket", _bucket_expr(n_buckets))
+        dfreq = trip.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = build_postings(
+            trip, dfreq, hot_df_threshold, n_shards, bucket_col=True,
+            n_partitions=_encode_width(spark, run_bytes),
+        )
     tmp_post = f"{index_dir}/segments/_merge_post_tmp"
     shutil.rmtree(tmp_post, ignore_errors=True)
     (
