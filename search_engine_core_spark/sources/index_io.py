@@ -339,6 +339,46 @@ class IndexBuilder:
         cutoff = self.hot_df_threshold * fraction
         return est.filter(F.col("s_df") > cutoff).select("term")
 
+    def _hot_terms_sampled_local(self, docs: DataFrame) -> list[str]:
+        """Driver-side twin of :meth:`_hot_terms_sampled` for the partial
+        build path (which needs the hot LIST on the driver anyway): pull
+        the same bounded sample's content (a few MB) and tokenize/count
+        in Arrow C++ locally — the explode/groupBy Spark job this
+        replaces cost ~1-1.4 s per build, ~20% of the warm build
+        (measured r6). Same estimator, same cutoff, same benign
+        misclassification contract (sharding only, never content)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from search_engine_core_spark.functions.tokenizer import (
+            MIN_TOKEN_LEN,
+            TOKEN_SPLIT_RE,
+        )
+
+        n_total = getattr(self, "_n_docs", None) or docs.count()
+        target = 5_000
+        fraction = min(1.0, target / max(n_total, 1))
+        sample = docs.select("content")
+        if fraction < 1.0:
+            sample = sample.limit(target)
+        content = sample.toArrow()["content"].combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_SPLIT_RE)
+        parents = toks.value_parent_indices()
+        vals = toks.flatten()
+        keep = pc.greater_equal(pc.utf8_length(vals), MIN_TOKEN_LEN)
+        # per-doc distinct then per-term doc counts == the sampled df
+        agg = (
+            pa.table({"doc": parents.filter(keep), "term": vals.filter(keep)})
+            .group_by(["doc", "term"], use_threads=False)
+            .aggregate([])
+            .group_by(["term"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        cutoff = self.hot_df_threshold * fraction
+        counts = agg.column("count_all").to_numpy()
+        terms = agg.column("term").to_pylist()
+        return [t for t, c in zip(terms, counts) if c > cutoff]
+
     def _build_fast(self, docs, done, attempt, fail_after_buckets) -> None:
         if ("postings", -1) in done or all(
             ("postings", b) in done for b in range(self.n_buckets)
@@ -355,7 +395,7 @@ class IndexBuilder:
                 build_postings_from_docs,
             )
 
-            hot_terms = [r["term"] for r in self._hot_terms_sampled(docs).collect()]
+            hot_terms = self._hot_terms_sampled_local(docs)
             postings = build_postings_from_docs(
                 docs.select("doc_id", "content"),
                 hot_terms,
