@@ -150,6 +150,56 @@ def start_incremental_index(
 _PARTIAL_EXCLUDE_CAP = 20_000_000
 
 
+def _parquet_file_batches(files: list[str]) -> dict[str, int] | None:
+    """file -> its single batch_id, read from parquet FOOTER statistics —
+    no Spark job. Level-0 files are per-batch appends, so every file
+    carries exactly one batch_id; the footer min/max proves it. Returns
+    None (caller falls back to the Spark job) when any footer lacks
+    usable stats or a file unexpectedly spans batches."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+        except Exception:
+            return None
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            col = None
+            for ci in range(row.num_columns):
+                c = row.column(ci)
+                if c.path_in_schema == "batch_id":
+                    col = c
+                    break
+            if col is None or col.statistics is None or not col.statistics.has_min_max:
+                return None
+            s = col.statistics
+            mn = s.min if mn is None else min(mn, s.min)
+            mx = s.max if mx is None else max(mx, s.max)
+        if mn is None:  # zero row groups: empty commit artifact — skip
+            continue
+        if mn != mx:
+            return None
+        out[f] = int(mn)
+    return out
+
+
+def _parquet_num_rows(files: list[str]) -> int | None:
+    """Total row count across parquet files from footers (no Spark job),
+    or None when any footer is unreadable."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def _drop_if_drained(d: str) -> None:
     """Drop a level-0 dir once fully drained (the delta-absent invariant
     readers rely on) — kept if ANY data file or an in-flight Spark commit
@@ -287,18 +337,32 @@ def minor_compact(
             "or run compact_deltas for the degraded triples-only fold"
         )
     ddocs_raw = spark.read.parquet(*dfiles)
-    complete = [
-        r["batch_id"]
-        for r in ddocs_raw.select("batch_id").distinct().collect()
-    ]
+    # complete-batch set and the file -> batch map both come from parquet
+    # FOOTER stats when possible (r6: three bookkeeping Spark jobs — the
+    # distinct-batches collect, the input_file_name map, the emptiness
+    # probe — cost ~1 s of every delta-sized fold; footers answer all
+    # three driver-side). Level-0 files are per-batch appends, so each
+    # file's batch_id min==max; any anomaly falls back to the Spark jobs.
+    dmap = _parquet_file_batches(dfiles)
+    if dmap is not None:
+        complete = sorted(set(dmap.values()))
+    else:
+        complete = [
+            r["batch_id"]
+            for r in ddocs_raw.select("batch_id").distinct().collect()
+        ]
     traw = spark.read.parquet(*tfiles)
-    # file -> batch map (files are per-batch appends): drives the
-    # fold-exactly-what-you-delete contract below
-    fmap = (
-        traw.select(F.input_file_name().alias("f"), "batch_id")
-        .distinct()
-        .collect()
-    )
+    tmap = _parquet_file_batches(tfiles)
+    if tmap is not None:
+        fmap = [{"f": f, "batch_id": b} for f, b in tmap.items()]
+    else:
+        # file -> batch map (files are per-batch appends): drives the
+        # fold-exactly-what-you-delete contract below
+        fmap = (
+            traw.select(F.input_file_name().alias("f"), "batch_id")
+            .distinct()
+            .collect()
+        )
     traw = traw.filter(F.col("batch_id").isin(complete))
     # delta_triples' replay-dedup + latest-batch-wins, over the snapshot
     deduped = traw.dropDuplicates(["doc_id", "term", "batch_id"])
@@ -306,7 +370,10 @@ def minor_compact(
     delta = deduped.join(latest_b, ["doc_id", "batch_id"]).select(
         "doc_id", "term", "tf"
     )
-    if delta.isEmpty():
+    # emptiness without a job: the latest-wins fold keeps >=1 row per doc,
+    # so delta is empty iff NO triples file carries a complete batch
+    complete_set = set(complete)
+    if not any(r["batch_id"] in complete_set for r in fmap):
         return None
     t0 = time.monotonic()
     existing = _segment_ids(index_dir)
@@ -324,13 +391,21 @@ def minor_compact(
         merge_partial_sources,
     )
 
-    hot_terms = [
-        r["term"]
-        for r in delta.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > hot_df_threshold)
-        .collect()
-    ]
+    # a term's delta-df is bounded by the delta's TOTAL triple rows
+    # (parquet footer count, no job) — when that bound cannot cross the
+    # threshold the hot set is provably empty and the agg job is skipped
+    # (the common case: deltas are small by construction)
+    total_rows = _parquet_num_rows(tfiles)
+    if total_rows is not None and total_rows <= hot_df_threshold:
+        hot_terms: list[str] = []
+    else:
+        hot_terms = [
+            r["term"]
+            for r in delta.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > hot_df_threshold)
+            .collect()
+        ]
     hot_bc = spark.sparkContext.broadcast(frozenset(hot_terms))
     part = delta.mapInArrow(
         make_triples_to_partials(hot_bc, n_shards), PARTIAL_SCHEMA
@@ -586,8 +661,8 @@ def merge_segments(
     run_bytes = sum(
         b for s, b in segment_bytes(index_dir).items() if s in set(run)
     )
-    n_latest = latest.count()
-    if n_latest <= _PARTIAL_EXCLUDE_CAP:
+    l_probe = latest.limit(_PARTIAL_EXCLUDE_CAP + 1).toArrow()
+    if l_probe.num_rows <= _PARTIAL_EXCLUDE_CAP:
         # r6 partial-merge path: doc-level latest-wins applied DURING the
         # segment decode via a broadcast (sorted ids, latest-seg) pair —
         # no triple materialization, the fold's shuffle carries ~4 B per
@@ -602,9 +677,8 @@ def merge_segments(
             merge_partial_sources,
         )
 
-        l_tbl = latest.toArrow()
-        l_ids = l_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        l_segs = l_tbl["seg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_ids = l_probe["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l_segs = l_probe["seg"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(l_ids)
         bc_latest = spark.sparkContext.broadcast((l_ids[order], l_segs[order]))
         hot_terms = [
@@ -1469,29 +1543,46 @@ def compact_deltas(
     tfiles = sorted(glob.glob(f"{index_dir}/delta/*.parquet"))
     ddocs_raw = None
     drop_files: list[str] = list(dfiles)
+    delta_nonempty = False
     if tfiles:
         traw = spark.read.parquet(*tfiles)
         if dfiles:
             ddocs_raw = spark.read.parquet(*dfiles)
-            complete = {
-                r["batch_id"]
-                for r in ddocs_raw.select("batch_id").distinct().collect()
-            }
+            # footer-stats fast path for the complete-batch set and the
+            # file -> batch map (same r6 bookkeeping-job removal as
+            # minor_compact; Spark jobs remain the fallback)
+            dmap = _parquet_file_batches(dfiles)
+            if dmap is not None:
+                complete = set(dmap.values())
+            else:
+                complete = {
+                    r["batch_id"]
+                    for r in ddocs_raw.select("batch_id").distinct().collect()
+                }
             import urllib.parse as _up
 
-            fmap = (
-                traw.select(F.input_file_name().alias("f"), "batch_id")
-                .distinct()
-                .collect()
-            )
+            tmap = _parquet_file_batches(tfiles)
+            if tmap is not None:
+                fmap = [{"f": f, "batch_id": b} for f, b in tmap.items()]
+            else:
+                fmap = (
+                    traw.select(F.input_file_name().alias("f"), "batch_id")
+                    .distinct()
+                    .collect()
+                )
             drop_files += [
                 _up.unquote(_up.urlparse(r["f"]).path)
                 for r in fmap
                 if r["batch_id"] in complete
             ]
             traw = traw.filter(F.col("batch_id").isin(sorted(complete)))
+            # latest-wins keeps >=1 row per doc, so the folded delta is
+            # nonempty iff any triples file carries a complete batch
+            delta_nonempty = any(r["batch_id"] in complete for r in fmap)
         else:
             drop_files += tfiles  # degraded triples-only fold: take all
+            nrows = _parquet_num_rows(tfiles)
+            delta_nonempty = bool(nrows) if nrows is not None else None
         deduped = traw.dropDuplicates(["doc_id", "term", "batch_id"])
         latest_b = deduped.groupBy("doc_id").agg(
             F.max("batch_id").alias("batch_id")
@@ -1502,7 +1593,9 @@ def compact_deltas(
     else:
         delta = spark.createDataFrame([], "doc_id long, term string, tf long")
     seg_ids = _segment_ids(index_dir)
-    if delta.isEmpty() and not seg_ids:
+    if delta_nonempty is None:  # unreadable footers: ask Spark
+        delta_nonempty = not delta.isEmpty()
+    if not delta_nonempty and not seg_ids:
         return
     reader_post = spark.read.option("basePath", f"{index_dir}/postings").parquet(
         f"{index_dir}/postings"
@@ -1537,8 +1630,10 @@ def compact_deltas(
         updated_ids = delta_ids
     updated_ids = updated_ids.localCheckpoint(eager=True)
 
-    n_upd = updated_ids.count()
-    if n_upd <= _PARTIAL_EXCLUDE_CAP:
+    # ONE capped collect decides the path AND delivers the id set (a
+    # separate count() job would re-run the tier resolution plan)
+    ids_tbl_probe = updated_ids.limit(_PARTIAL_EXCLUDE_CAP + 1).toArrow()
+    if ids_tbl_probe.num_rows <= _PARTIAL_EXCLUDE_CAP:
         # r6 partial-rewrite path (guide §8): main postings are decoded,
         # filtered of superseded docs (broadcast sorted id array — the
         # decode_postings_for_docs discipline), re-sharded and partial-
@@ -1556,9 +1651,8 @@ def compact_deltas(
             merge_partial_sources,
         )
 
-        ids_tbl = updated_ids.toArrow()
         excl = np.sort(
-            ids_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_tbl_probe["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
         bc_excl = spark.sparkContext.broadcast(excl)
         hot_dir = f"{index_dir}/dfreq"
