@@ -551,21 +551,27 @@ class EmbeddingIndexBuilder:
         part_cols = meta["partitioned_by"]
         t0 = time.monotonic()
         assigned = self._assigned(new_embeddings, meta).localCheckpoint(eager=True)
-        # ONE scalar job gets row count + distinct-id count (the duplicate
-        # guard) — previously two separate jobs (count, distinct().count())
-        # over the checkpointed batch.
-        stats = assigned.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("vec_id").alias("d"),
-        ).first()
-        n_new = stats["n"]
+        # ONE job yields the new locations AND the scalar stats (row
+        # count + distinct-id duplicate guard): a vec_id's assignment is
+        # deterministic, so per-partition distinct counts sum to the
+        # global distinct count — previously a scalar agg job plus a
+        # separate distinct-locations collect (r6 fusion).
+        new_rows = (
+            assigned.groupBy(*part_cols)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.count_distinct("vec_id").alias("_d"),
+            )
+            .collect()
+        )
+        n_new = sum(r["_n"] for r in new_rows)
         if n_new == 0:
             return 0
         # duplicate ids inside ONE batch have no defined winner here (no
         # ordering column) and would double-write + corrupt n_vecs; the
         # text side resolves this with batch_id latest-wins — callers with
         # versioned batches must collapse to one row per id first
-        if stats["d"] != n_new:
+        if sum(r["_d"] for r in new_rows) != n_new:
             raise ValueError(
                 "upsert batch contains duplicate vec_ids — collapse to one "
                 "row per vec_id (latest version) before upserting"
@@ -582,7 +588,7 @@ class EmbeddingIndexBuilder:
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
-        new_locs = assigned.select(*part_cols).distinct().collect()
+        new_locs = new_rows
         before = self._part_dirs(old_parts, part_cols)
         target = before | self._part_dirs(new_locs, part_cols)
         n_replaced = sum(r["c"] for r in old_parts)
