@@ -91,6 +91,52 @@ def main() -> None:
     t("gopher_filter", lambda: noop(gopher_filter(
         sentenced(), "text", min_words=10, min_required_stopwords=1)))
 
+    # ---- r6: build-pipeline isolation (noop sinks, guide §1.4) ---------
+    # the partial-encode A/B the round's headline claims rest on:
+    # tokenize-only, the old triple-shuffle encode, the new partial-
+    # encode pipeline — all over the same synthesized corpus
+    from search_engine_core_spark.corpus import with_doc_columns
+    from search_engine_core_spark.functions.tokenizer import doc_tf_arrow
+    from search_engine_core_spark.operators.partial_postings import (
+        build_postings_from_docs,
+    )
+    from search_engine_core_spark.operators.postings import build_postings
+    from search_engine_core_spark.sources.index_io import IndexBuilder, _bucket_expr
+
+    n_docs_b = max(2000, int(200_000 * sf))
+    workb = tempfile.mkdtemp(prefix="bench_extra_b_", dir="/dev/shm")
+    try:
+        synthesize_corpus(spark, n_docs=n_docs_b, tokens_per_doc=200).write.mode(
+            "overwrite"
+        ).parquet(f"{workb}/corpus")
+        docs_b = with_doc_columns(spark.read.parquet(f"{workb}/corpus")).select(
+            "doc_id", "content"
+        )
+        docs_b.write.mode("overwrite").parquet(f"{workb}/docs")
+        docs_b = spark.read.parquet(f"{workb}/docs")
+        bb = IndexBuilder(
+            spark, f"{workb}/never", n_buckets=8,
+            hot_df_threshold=max(1000, n_docs_b // 10), n_shards=cores,
+        )
+        hot_terms = bb._hot_terms_sampled_local(docs_b)
+        trip_b = docs_b.mapInArrow(
+            doc_tf_arrow, "doc_id long, term string, tf long"
+        ).withColumn("bucket", _bucket_expr(8))
+        t("build_tokenize_tf_noop", lambda: noop(trip_b))
+        hot_df = spark.createDataFrame([(x,) for x in hot_terms] or [("__none__",)],
+                                       "term string")
+        old_post = build_postings(
+            trip_b, hot_df, max(1000, n_docs_b // 10), cores,
+            bucket_col=True, hot_is_term_set=True,
+        )
+        t("build_postings_triple_noop", lambda: noop(old_post))
+        new_post = build_postings_from_docs(
+            docs_b, hot_terms, cores, n_buckets=8
+        )
+        t("build_postings_partial_noop", lambda: noop(new_post))
+    finally:
+        shutil.rmtree(workb, ignore_errors=True)
+
     # ---- LSM maintenance at delta size ---------------------------------
     from search_engine_core_spark.sources.index_io import IndexBuilder
     from search_engine_core_spark.streaming.incremental import (
