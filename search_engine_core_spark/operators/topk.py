@@ -285,7 +285,13 @@ class WandTopK:
         terms: list[str],
         k: int = 10,
         mode: str = "OR",
-        seed_cap: int = 200_000,
+        # 1M ids ≈ 8 MB collected (Arrow) + a 16 MB (ids, doclens)
+        # broadcast — comfortably driver-safe, and it keeps mid-frequency
+        # terms (df ≈ N/4 at multi-million-doc corpora) on the pruned
+        # WAND path instead of the full-decode fallback (r6: at a 2M-doc
+        # index the old 200k cap sent every medium-term query through
+        # the fallback, ~12 s vs ~2 s pruned)
+        seed_cap: int = 1_000_000,
         survivor_cap: int | None = None,
         term_stats_override: dict[str, tuple[int, int]] | None = None,
         exclude_ids=None,
@@ -533,16 +539,18 @@ class WandTopK:
         others_ub = {t: sum(u for t2, u in ubs.items() if t2 != t) for t in ubs}
         pruned_trip = decode_pruned(rest_post, others_ub, idfs, theta)
         # bounded collect: at most cap+1 rows ever reach the driver; the
-        # sentinel row detects overflow without materializing the full set
+        # sentinel row detects overflow without materializing the full
+        # set. toArrow, not collect(): at the raised cap a Row-object
+        # list would cost ~100 B/row of driver heap for the same ids.
         cap = seed_cap if survivor_cap is None else survivor_cap
-        surv_rows = (
-            pruned_trip.select("doc_id").distinct().limit(cap + 1).collect()
+        surv_tbl = (
+            pruned_trip.select("doc_id").distinct().limit(cap + 1).toArrow()
         )
-        st["survivors"] = len(surv_rows)
-        if len(surv_rows) > cap:
+        st["survivors"] = surv_tbl.num_rows
+        if surv_tbl.num_rows > cap:
             st["path"] = "survivor_overflow_fallback"
             return _fallback()
-        pruned_ids = np.array([r["doc_id"] for r in surv_rows], dtype=np.int64)
+        pruned_ids = surv_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if exclude_ids is not None:
             # superseded docs can survive θ-pruning (their stale postings
             # are still in main) — they must never be exact-scored
